@@ -1,0 +1,152 @@
+"""Typed configuration for the framework.
+
+The reference has no config system at all — configuration lives in UPPER_CASE
+notebook constants (reference 03-*.ipynb cell 2) plus constructor kwargs.
+Here every knob is a frozen dataclass so configs are hashable (usable as jit
+static args) and self-documenting.  `reference_warehouse_config()` reproduces
+the exact published training configuration (notebook 03 cells 2/6/12/14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorsConfig:
+    """Default-box ("anchor") generation config.
+
+    Mirrors the knobs of the reference `DefaultBoundingBoxes` ctor
+    (reference ssdseglib/boxes.py:5-12).
+    """
+
+    feature_maps_shapes: Tuple[Tuple[int, int], ...]
+    # one tuple of aspect ratios per feature map (width:height)
+    feature_maps_aspect_ratios: Tuple[Tuple[float, ...], ...]
+    boxes_scales: Tuple[float, float] = (0.2, 0.9)
+    # one padding percentage per feature map, in [0, 0.5)
+    centers_padding_from_borders: Tuple[float, ...] = ()
+    additional_square_box: bool = True
+
+    def __post_init__(self):
+        n = len(self.feature_maps_shapes)
+        if len(self.feature_maps_aspect_ratios) != n:
+            raise ValueError("need one aspect-ratio tuple per feature map")
+        if len(self.centers_padding_from_borders) != n:
+            raise ValueError("need one border padding per feature map")
+        for p in self.centers_padding_from_borders:
+            if not 0 <= p < 0.5:
+                raise ValueError("border padding must be in [0, 0.5)")
+
+    @property
+    def boxes_per_point(self) -> Tuple[int, ...]:
+        extra = 1 if self.additional_square_box else 0
+        return tuple(len(ars) + extra for ars in self.feature_maps_aspect_ratios)
+
+    @property
+    def total_boxes(self) -> int:
+        return sum(
+            h * w * b
+            for (h, w), b in zip(self.feature_maps_shapes, self.boxes_per_point)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodingConfig:
+    """Ground-truth encoding config (reference ssdseglib/datacoder.py:6-21)."""
+
+    num_classes: int
+    image_shape: Tuple[int, int]  # (height, width)
+    iou_threshold: float = 0.5
+    # (std_cx, std_cy, std_w, std_h)
+    standard_deviations: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    # fixed padding budget for per-sample ground-truth boxes; the reference
+    # uses ragged per-sample tensors (host loop), we use fixed shapes + mask
+    max_ground_truth_boxes: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class NmsConfig:
+    """Inference-time NMS operating point (reference notebook 03 cell 23)."""
+
+    max_boxes_per_class: int = 4
+    max_boxes_per_sample: int = 10
+    iou_threshold: float = 0.025
+    score_threshold: float = 0.725
+    suppress_background_boxes: bool = False
+    use_segmentation_suppression: bool = True
+    # candidates per class entering the greedy suppression loop; the TF kernel
+    # scans every candidate above score_threshold, a top-k prefilter of this
+    # size is exact for any realistic score distribution and keeps the
+    # suppression loop O(k^2) with static shapes
+    max_candidates_per_class: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model assembly config (reference ssdseglib/models.py:6-45, 425-478)."""
+
+    input_image_shape: Tuple[int, int, int] = (480, 640, 3)
+    number_of_classes: int = 4
+    boxes_per_point: Tuple[int, ...] = (6, 6, 6, 6)
+    backbone: str = "mobilenetv2"  # or "shufflenetv2"
+    segmentation_dilation_rates: Tuple[int, int, int] = (6, 12, 18)
+    # shufflenet-only knobs (reference models.py:429-470)
+    shufflenet_size: str = "1x"  # '0.5x' | '1x' | '1.5x' | '2x'
+    shufflenet_extra_depthwise: bool = False
+    shufflenet_residuals: bool = False
+    # reference quirk knob: reference heads use ReLU(max_value=0.0) on the
+    # shufflenet path which zeroes activations in Keras (blocks.py:154 with
+    # relu_max_value default 0.0); we treat relu_max<=0 as an uncapped ReLU
+    # and document the deviation instead of silently zeroing the network.
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (reference notebook 03 cells 2/14/16)."""
+
+    batch_size: int = 16
+    learning_rate: float = 1e-4
+    epochs: int = 105
+    seed: int = 1993
+    loss_weight_mask: float = 1.0
+    loss_weight_labels: float = 1.0
+    loss_weight_boxes: float = 1.0
+    mask_class_weights: Tuple[float, ...] = (0.05, 0.575, 0.135, 0.24)
+    mask_loss: str = "cross_entropy"  # 'cross_entropy' | 'dice' | 'dice_square'
+    augmentation_horizontal_flip: bool = True
+    augmentation_rgb: bool = True
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_steps: int = 1000
+
+
+def reference_warehouse_config():
+    """The exact published configuration of the reference training run.
+
+    Sources: reference notebook 03 cells 2 (shapes/classes/stds/batch),
+    6 (anchors + iou threshold), 12 (dilations (3, 6, 12)), 14 (lr, weights).
+    """
+    anchors = AnchorsConfig(
+        feature_maps_shapes=((30, 40), (15, 20), (8, 10), (4, 5)),
+        feature_maps_aspect_ratios=((1.0, 2.0, 3.0, 1 / 2, 1 / 3),) * 4,
+        boxes_scales=(0.15, 0.95),
+        centers_padding_from_borders=(0.025, 0.05, 0.075, 0.1),
+        additional_square_box=True,
+    )
+    encoding = EncodingConfig(
+        num_classes=4,
+        image_shape=(480, 640),
+        iou_threshold=0.525,
+        standard_deviations=(0.1, 0.1, 0.2, 0.2),
+    )
+    model = ModelConfig(
+        input_image_shape=(480, 640, 3),
+        number_of_classes=4,
+        boxes_per_point=anchors.boxes_per_point,
+        backbone="mobilenetv2",
+        segmentation_dilation_rates=(3, 6, 12),
+    )
+    nms = NmsConfig()
+    train = TrainConfig()
+    return anchors, encoding, model, nms, train

@@ -1,0 +1,372 @@
+"""Model assembly: joint SSDLite + DeepLabV3+ network and builder API.
+
+TPU-native counterpart of reference ssdseglib/models.py.  The reference
+builds a Keras graph for training, then *rebuilds* a second graph for
+inference and copies weights across by layer name (models.py:345-423).  In
+the functional JAX design both phases share one parameter pytree: the
+training model is `module.apply(variables, images, train=True)` and the
+inference model is the same apply plus jitted post-processing (decode ->
+segmentation suppression -> NMS) — no weight transfer step can go wrong.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdseglib_tpu.config import ModelConfig, NmsConfig
+from ssdseglib_tpu.layers import (
+    DecodeBoxesCentroidsOffsets,
+    NonMaximumSuppression,
+    SegmentationSuppression,
+)
+from ssdseglib_tpu.models.blocks import SepConvBN
+from ssdseglib_tpu.models.heads import (
+    DeepLabV3PlusDecoder,
+    DeepLabV3PlusEncoder,
+    SsdLiteHeads,
+)
+from ssdseglib_tpu.models.mobilenetv2 import MobileNetV2Backbone
+from ssdseglib_tpu.models.shufflenetv2 import STAGE_CHANNELS, ShuffleNetV2Backbone
+
+
+class SsdSegModel(nn.Module):
+    """Backbone + DeepLabV3+ mask head + SSDLite detection heads.
+
+    Outputs a dict keyed like the reference model's named outputs
+    (reference models.py:338): 'output-mask' (B, H, W, C) softmax,
+    'output-labels' (B, N, 4) softmax, 'output-boxes' (B, N, num_classes)
+    raw offsets.  (The 4 / num_classes channel quirk is inherited from the
+    reference heads — see models/heads.py.)
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        # rescale [0, 255] -> [-1, 1] (reference models.py:187)
+        x = images / 127.5 - 1.0
+
+        if cfg.backbone == "mobilenetv2":
+            _, taps = MobileNetV2Backbone(name="backbone")(x, train)
+            fm1 = taps["backbone-block13-expand-relu6"]  # os16
+            fm2 = taps["backbone-block16-project-batchnorm"]  # os32
+            skip = taps["backbone-block3-expand-relu6"]  # os4
+            relu_max = 6.0
+            extra = ((320, "backbone-block17"), (360, "backbone-block18"))
+        elif cfg.backbone == "shufflenetv2":
+            _, taps = ShuffleNetV2Backbone(
+                model_size=cfg.shufflenet_size,
+                use_additional_depthwise_convolution=cfg.shufflenet_extra_depthwise,
+                use_residual_connections=cfg.shufflenet_residuals,
+                name="backbone",
+            )(x, train)
+            fm1 = taps["backbone-stage3-block7"]  # os16
+            fm2 = taps["backbone-stage4-block3"]  # os32
+            skip = taps["backbone-stage2-block3"]  # os8
+            relu_max = 0.0  # plain ReLU on the shufflenet path
+            c4 = STAGE_CHANNELS[cfg.shufflenet_size][4]
+            extra = ((c4, "backbone-stage5-block1"), (c4, "backbone-stage5-block2"))
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+
+        # two extra stride-2 feature maps for the detection pyramid
+        # (reference models.py:232-244 / :669-679)
+        fm3 = SepConvBN(
+            extra[0][0], kernel_size=3, strides=2, relu_max=relu_max,
+            name=extra[0][1],
+        )(fm2, train)
+        fm4 = SepConvBN(
+            extra[1][0], kernel_size=3, strides=2, relu_max=relu_max,
+            name=extra[1][1],
+        )(fm3, train)
+
+        mask_encoder = DeepLabV3PlusEncoder(
+            filters=256,
+            dilation_rates=cfg.segmentation_dilation_rates,
+            relu_max=relu_max,
+            name="mask-encoder",
+        )(fm1, train)
+        mask = DeepLabV3PlusDecoder(
+            filters_backbone=48,
+            filters_decoder=256,
+            output_height_width=cfg.input_image_shape[:2],
+            output_channels=cfg.number_of_classes,
+            relu_max=relu_max,
+            name="mask-decoder",
+        )(mask_encoder, skip, train)
+
+        labels, boxes = SsdLiteHeads(
+            boxes_per_point=cfg.boxes_per_point,
+            number_of_classes=cfg.number_of_classes,
+            relu_max=relu_max,
+            name="heads",
+        )([fm1, fm2, fm3, fm4], train)
+
+        return {"output-mask": mask, "output-labels": labels, "output-boxes": boxes}
+
+
+def count_parameters(variables) -> Tuple[int, int]:
+    """(trainable, non-trainable) parameter counts, Keras-summary style."""
+    trainable = sum(
+        np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables.get("params", {}))
+    )
+    stats = sum(
+        np.prod(p.shape)
+        for p in jax.tree_util.tree_leaves(variables.get("batch_stats", {}))
+    )
+    return int(trainable), int(stats)
+
+
+@dataclasses.dataclass
+class TrainableModel:
+    """A model ready for training: module + init/apply helpers."""
+
+    module: SsdSegModel
+    cfg: ModelConfig
+
+    def init(self, rng: jax.Array, batch_size: int = 1):
+        shape = (batch_size,) + tuple(self.cfg.input_image_shape)
+        return self.module.init(
+            rng, jnp.zeros(shape, dtype=jnp.float32), train=False
+        )
+
+    def apply(self, variables, images, train: bool = False, rngs=None):
+        """Forward pass.  In train mode returns (outputs, new_batch_stats)."""
+        if train:
+            outputs, mutated = self.module.apply(
+                variables, images, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            return outputs, mutated["batch_stats"]
+        return self.module.apply(variables, images, train=False)
+
+    def parameter_counts(self, variables) -> Tuple[int, int]:
+        return count_parameters(variables)
+
+
+class InferenceModel:
+    """Jitted end-to-end inference: forward -> decode -> gate -> NMS.
+
+    Functional equivalent of the reference inference-graph transform
+    (reference models.py:345-423).  `predict` returns
+    (mask (B, H, W, C), detections (B, T, 6)) with detection rows
+    [label, probability, xmin, ymin, xmax, ymax].
+    """
+
+    def __init__(
+        self,
+        module: SsdSegModel,
+        variables,
+        decode: DecodeBoxesCentroidsOffsets,
+        nms: NonMaximumSuppression,
+        use_segmentation_suppression: bool,
+        suppress_background_boxes: bool,
+    ) -> None:
+        self.module = module
+        self.variables = variables
+        self._suppress_background = suppress_background_boxes
+        seg_suppression = SegmentationSuppression(
+            num_classes=4  # reference hardcodes depth=4 (layers.py:204)
+        )
+
+        # NMS minus the host-side background filter so everything jits
+        nms_core = NonMaximumSuppression(
+            max_number_of_boxes_per_class=nms.config.max_boxes_per_class,
+            max_number_of_boxes_per_sample=nms.config.max_boxes_per_sample,
+            boxes_iou_threshold=nms.config.iou_threshold,
+            labels_probability_threshold=nms.config.score_threshold,
+            suppress_background_boxes=False,
+            max_candidates_per_class=nms.config.max_candidates_per_class,
+        )
+
+        def forward(variables, images):
+            out = module.apply(variables, images, train=False)
+            mask = out["output-mask"]
+            labels = out["output-labels"]
+            if use_segmentation_suppression:
+                labels = seg_suppression(mask, labels)
+            boxes_yx = decode(out["output-boxes"])
+            detections = nms_core(boxes_yx, labels)
+            return mask, detections
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, images):
+        return self._forward(self.variables, images)
+
+    def predict(self, images):
+        """NumPy-in/NumPy-out convenience, applying the optional host-side
+        background-box filter (reference layers.py:165-166)."""
+        mask, det = self._forward(self.variables, jnp.asarray(images))
+        mask, det = np.asarray(mask), np.asarray(det)
+        if self._suppress_background:
+            det = det[det[..., 0] > 0.0]
+        return mask, det
+
+
+class _BuilderBase:
+    """Shared builder logic mirroring the reference builder ctor surface."""
+
+    def __init__(
+        self,
+        input_image_shape,
+        number_of_boxes_per_point,
+        number_of_classes,
+        center_x_boxes_default,
+        center_y_boxes_default,
+        width_boxes_default,
+        height_boxes_default,
+        standard_deviations_centroids_offsets,
+        backbone: str,
+        **backbone_kwargs,
+    ) -> None:
+        if isinstance(number_of_boxes_per_point, int):
+            number_of_boxes_per_point = (number_of_boxes_per_point,) * 4
+        self.cfg_base = dict(
+            input_image_shape=tuple(input_image_shape),
+            number_of_classes=number_of_classes,
+            boxes_per_point=tuple(number_of_boxes_per_point),
+            backbone=backbone,
+            **backbone_kwargs,
+        )
+        self._anchors_centroids = (
+            np.asarray(center_x_boxes_default, np.float32),
+            np.asarray(center_y_boxes_default, np.float32),
+            np.asarray(width_boxes_default, np.float32),
+            np.asarray(height_boxes_default, np.float32),
+        )
+        self._stds = tuple(float(s) for s in standard_deviations_centroids_offsets)
+        self._model_cfg: Optional[ModelConfig] = None
+
+    def get_model_for_training(
+        self,
+        segmentation_architecture: str = "deeplabv3plus",
+        object_detection_architecture: str = "ssdlite",
+        segmentation_dilation_rates: Tuple[int, int, int] = (6, 12, 18),
+    ) -> TrainableModel:
+        if segmentation_architecture != "deeplabv3plus":
+            raise ValueError("only 'deeplabv3plus' segmentation is available")
+        if object_detection_architecture != "ssdlite":
+            raise ValueError("only 'ssdlite' object detection is available")
+        self._model_cfg = ModelConfig(
+            segmentation_dilation_rates=tuple(segmentation_dilation_rates),
+            **self.cfg_base,
+        )
+        module = SsdSegModel(cfg=self._model_cfg)
+        return TrainableModel(module=module, cfg=self._model_cfg)
+
+    def get_model_for_inference(
+        self,
+        model_trained,
+        max_number_of_boxes_per_class: int,
+        max_number_of_boxes_per_sample: int,
+        boxes_iou_threshold: float,
+        labels_probability_threshold: float,
+        suppress_background_boxes: bool,
+        use_segmentation_suppression: bool,
+    ) -> InferenceModel:
+        """Args:
+            model_trained: the trained variables pytree (params +
+                batch_stats), or a (TrainableModel, variables) tuple.
+        """
+        if isinstance(model_trained, tuple):
+            trainable, variables = model_trained
+            module = trainable.module
+        else:
+            if self._model_cfg is None:
+                self.get_model_for_training()
+            module = SsdSegModel(cfg=self._model_cfg)
+            variables = model_trained
+
+        cx, cy, w, h = self._anchors_centroids
+        decode = DecodeBoxesCentroidsOffsets(
+            cx, cy, w, h, *self._stds
+        )
+        nms = NonMaximumSuppression(
+            max_number_of_boxes_per_class=max_number_of_boxes_per_class,
+            max_number_of_boxes_per_sample=max_number_of_boxes_per_sample,
+            boxes_iou_threshold=boxes_iou_threshold,
+            labels_probability_threshold=labels_probability_threshold,
+            suppress_background_boxes=False,
+        )
+        return InferenceModel(
+            module=module,
+            variables=variables,
+            decode=decode,
+            nms=nms,
+            use_segmentation_suppression=use_segmentation_suppression,
+            suppress_background_boxes=suppress_background_boxes,
+        )
+
+
+class MobileNetV2SsdSegBuilder(_BuilderBase):
+    """Mirror of reference MobileNetV2SsdSegBuilder (models.py:6-45)."""
+
+    def __init__(
+        self,
+        input_image_shape,
+        number_of_boxes_per_point,
+        number_of_classes,
+        center_x_boxes_default,
+        center_y_boxes_default,
+        width_boxes_default,
+        height_boxes_default,
+        standard_deviations_centroids_offsets,
+    ) -> None:
+        super().__init__(
+            input_image_shape,
+            number_of_boxes_per_point,
+            number_of_classes,
+            center_x_boxes_default,
+            center_y_boxes_default,
+            width_boxes_default,
+            height_boxes_default,
+            standard_deviations_centroids_offsets,
+            backbone="mobilenetv2",
+        )
+
+
+class ShuffleNetV2SsdSegBuilder(_BuilderBase):
+    """Mirror of reference ShuffleNetV2SsdSegBuilder (models.py:425-478)."""
+
+    def __init__(
+        self,
+        input_image_shape,
+        model_size,
+        use_additional_depthwise_convolution,
+        use_residual_connections,
+        number_of_boxes_per_point,
+        number_of_classes,
+        center_x_boxes_default,
+        center_y_boxes_default,
+        width_boxes_default,
+        height_boxes_default,
+        standard_deviations_centroids_offsets,
+    ) -> None:
+        if model_size not in STAGE_CHANNELS:
+            raise ValueError(
+                'invalid "model_size" value! available values are '
+                '"0.5x", "1x", "1.5x", "2x"'
+            )
+        super().__init__(
+            input_image_shape,
+            number_of_boxes_per_point,
+            number_of_classes,
+            center_x_boxes_default,
+            center_y_boxes_default,
+            width_boxes_default,
+            height_boxes_default,
+            standard_deviations_centroids_offsets,
+            backbone="shufflenetv2",
+            shufflenet_size=model_size,
+            shufflenet_extra_depthwise=use_additional_depthwise_convolution,
+            shufflenet_residuals=use_residual_connections,
+        )

@@ -1,0 +1,102 @@
+"""Color-space augmentation ops (jax.random counterparts of tf.image.random_*).
+
+Replaces the reference batch augmentation (reference ssdseglib/
+datacoder.py:434-466): small random hue / saturation / contrast / brightness
+shifts followed by a [0, 255] clip.  Matching TF semantics:
+
+- one scalar draw per batch (the reference applies the transforms after
+  `.batch()`, so a whole batch shares a single draw)
+- hue/saturation go through an HSV round trip (H and S are scale-invariant,
+  so operating on [0, 255] images matches TF exactly)
+- contrast is per-channel mean-preserving: ``(x - mean_hw) * f + mean_hw``
+- brightness adds a raw delta (on a [0, 255] image a +-0.1 delta is almost a
+  no-op — a reference quirk we preserve rather than "fix")
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB (..., 3) -> HSV (..., 3); hue in [0, 1), TF-compatible."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - mn
+    safe_c = jnp.where(c == 0.0, 1.0, c)
+    h = jnp.where(
+        c == 0.0,
+        0.0,
+        jnp.where(
+            v == r,
+            ((g - b) / safe_c) % 6.0,
+            jnp.where(v == g, (b - r) / safe_c + 2.0, (r - g) / safe_c + 4.0),
+        )
+        / 6.0,
+    )
+    s = jnp.where(v > 0.0, c / jnp.where(v == 0.0, 1.0, v), 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    """HSV (..., 3) -> RGB (..., 3); hue wraps modulo 1."""
+    h, s, v = hsv[..., 0] % 1.0, hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(image: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    hsv = rgb_to_hsv(image)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
+    return hsv_to_rgb(hsv)
+
+
+def adjust_saturation(image: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    hsv = rgb_to_hsv(image)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
+    return hsv_to_rgb(hsv)
+
+
+def adjust_contrast(image: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel mean-preserving contrast; mean over the spatial dims."""
+    mean = jnp.mean(image, axis=(-3, -2), keepdims=True)
+    return (image - mean) * factor + mean
+
+
+def adjust_brightness(image: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    return image + delta
+
+
+def augmentation_rgb_channels(
+    key: jax.Array, image_batch: jnp.ndarray
+) -> jnp.ndarray:
+    """Random hue/saturation/contrast/brightness on a [0, 255] image batch.
+
+    Same ranges as the reference (datacoder.py:452-464): hue +-0.05,
+    saturation [0.95, 1.05), contrast [0.90, 1.10), brightness +-0.10,
+    clipped to [0, 255].  One scalar draw per transform per batch.
+    """
+    k_hue, k_sat, k_con, k_bri = jax.random.split(key, 4)
+    image_batch = adjust_hue(
+        image_batch, jax.random.uniform(k_hue, (), minval=-0.05, maxval=0.05)
+    )
+    image_batch = adjust_saturation(
+        image_batch, jax.random.uniform(k_sat, (), minval=0.95, maxval=1.05)
+    )
+    image_batch = adjust_contrast(
+        image_batch, jax.random.uniform(k_con, (), minval=0.90, maxval=1.10)
+    )
+    image_batch = adjust_brightness(
+        image_batch, jax.random.uniform(k_bri, (), minval=-0.10, maxval=0.10)
+    )
+    return jnp.clip(image_batch, 0.0, 255.0)
