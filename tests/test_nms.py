@@ -1,0 +1,146 @@
+"""Golden-parity tests for the XLA combined NMS vs the TF kernel."""
+
+import numpy as np
+import pytest
+
+from ssdseglib_tpu.config import NmsConfig
+from ssdseglib_tpu.layers import NonMaximumSuppression, SegmentationSuppression
+from ssdseglib_tpu.ops.nms import combined_nms
+
+
+def _random_detections(rng, batch=3, n=128, num_classes=4, spread=100.0):
+    cx = rng.uniform(0, spread, (batch, n))
+    cy = rng.uniform(0, spread, (batch, n))
+    w = rng.uniform(5, 40, (batch, n))
+    h = rng.uniform(5, 40, (batch, n))
+    boxes_yx = np.stack(
+        [cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], axis=-1
+    ).astype(np.float32)
+    logits = rng.normal(size=(batch, n, num_classes)) * 3.0
+    scores = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    return boxes_yx, scores.astype(np.float32)
+
+
+def _tf_combined_nms(boxes_yx, scores, cfg: NmsConfig):
+    import tensorflow as tf
+
+    b, s, c, valid = tf.image.combined_non_max_suppression(
+        boxes=tf.expand_dims(tf.constant(boxes_yx), axis=2),
+        scores=tf.constant(scores),
+        max_output_size_per_class=cfg.max_boxes_per_class,
+        max_total_size=cfg.max_boxes_per_sample,
+        iou_threshold=cfg.iou_threshold,
+        score_threshold=cfg.score_threshold,
+        clip_boxes=False,
+    )
+    return b.numpy(), s.numpy(), c.numpy(), valid.numpy()
+
+
+def _assert_same_detections(ours, tf_out, cfg):
+    """Compare as sets per sample: the kept (class, score, box) multisets
+    must match; ordering may differ only among equal scores."""
+    tb, ts, tc, tvalid = tf_out
+    for i in range(tb.shape[0]):
+        v_tf = int(tvalid[i])
+        v_ours = int(ours["valid"][i])
+        assert v_ours == v_tf, f"sample {i}: kept {v_ours} vs tf {v_tf}"
+        ref_rows = sorted(
+            (round(float(tc[i, j]), 4), round(float(ts[i, j]), 4))
+            + tuple(np.round(tb[i, j], 3))
+            for j in range(v_tf)
+        )
+        our_rows = sorted(
+            (
+                round(float(ours["classes"][i, j]), 4),
+                round(float(ours["scores"][i, j]), 4),
+            )
+            + tuple(np.round(np.asarray(ours["boxes"])[i, j], 3))
+            for j in range(v_ours)
+        )
+        assert our_rows == ref_rows, f"sample {i}:\n{our_rows}\nvs\n{ref_rows}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize(
+    "iou_thr,score_thr",
+    [(0.5, 0.3), (0.025, 0.725), (0.9, 0.05), (0.3, 0.6)],
+)
+def test_combined_nms_parity(seed, iou_thr, score_thr):
+    rng = np.random.default_rng(seed)
+    boxes_yx, scores = _random_detections(rng)
+    cfg = NmsConfig(
+        max_boxes_per_class=4,
+        max_boxes_per_sample=10,
+        iou_threshold=iou_thr,
+        score_threshold=score_thr,
+        max_candidates_per_class=128,
+    )
+    ours = combined_nms(boxes_yx, scores, cfg)
+    tf_out = _tf_combined_nms(boxes_yx, scores, cfg)
+    _assert_same_detections(ours, tf_out, cfg)
+
+
+def test_combined_nms_dense_overlaps():
+    """Heavily overlapping boxes exercise the greedy suppression chain."""
+    rng = np.random.default_rng(42)
+    boxes_yx, scores = _random_detections(rng, batch=2, n=256, spread=30.0)
+    cfg = NmsConfig(
+        max_boxes_per_class=4,
+        max_boxes_per_sample=10,
+        iou_threshold=0.4,
+        score_threshold=0.4,
+        max_candidates_per_class=256,
+    )
+    ours = combined_nms(boxes_yx, scores, cfg)
+    tf_out = _tf_combined_nms(boxes_yx, scores, cfg)
+    _assert_same_detections(ours, tf_out, cfg)
+
+
+def test_nms_layer_output_format():
+    rng = np.random.default_rng(0)
+    boxes_yx, scores = _random_detections(rng, batch=2)
+    layer = NonMaximumSuppression(
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+    )
+    out = np.asarray(layer(boxes_yx, scores))
+    assert out.shape == (2, 10, 6)
+    # corners back in (xmin, ymin, xmax, ymax): for kept rows xmax > xmin
+    kept = out[out[..., 1] > 0]
+    assert np.all(kept[:, 4] > kept[:, 2])
+    assert np.all(kept[:, 5] > kept[:, 3])
+
+
+def test_segmentation_suppression_parity(reference):
+    """Batch-global class gating vs the reference Keras layer."""
+    rng = np.random.default_rng(3)
+    mask_logits = rng.normal(size=(2, 8, 12, 4)).astype(np.float32)
+    mask = np.exp(mask_logits) / np.exp(mask_logits).sum(-1, keepdims=True)
+    # make class 3 never the argmax anywhere in the batch
+    mask[..., 3] = 0.0
+    mask = mask / mask.sum(-1, keepdims=True)
+    probs = rng.uniform(size=(2, 16, 4)).astype(np.float32)
+
+    ours = np.asarray(SegmentationSuppression()(mask, probs))
+    ref_layer = reference.layers.SegmentationSuppression()
+    theirs = ref_layer.call(
+        segmentation_mask=mask.astype(np.float32), labels_probabilities=probs
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+    assert np.all(ours[..., 3] == 0.0)
+
+
+def test_decode_boxes_layer_parity(reference, warehouse_anchors):
+    """Prediction decode layer vs the reference Keras layer."""
+    rng = np.random.default_rng(5)
+    from ssdseglib_tpu.layers import DecodeBoxesCentroidsOffsets
+
+    offsets = (rng.normal(size=(2, 9600, 4)) * 0.5).astype(np.float32)
+    a = warehouse_anchors
+    args = (a.center_x, a.center_y, a.width, a.height, 0.1, 0.1, 0.2, 0.2)
+    ours = np.asarray(DecodeBoxesCentroidsOffsets(*args)(offsets))
+    ref_layer = reference.layers.DecodeBoxesCentroidsOffsets(*args)
+    theirs = ref_layer.call(offsets).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-3)
