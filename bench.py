@@ -1,0 +1,95 @@
+"""Benchmark: joint det+seg inference throughput on one chip.
+
+Baseline (BASELINE.md): the reference runs batch-16 480x640 joint inference
+(mask + box decode + NMS + segmentation suppression) at ~2 s/step ==
+8.9 images/s on the author's machine.  North star: >= 10x on one v5e chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMAGES_PER_SECOND = 8.9  # BASELINE.md, reference nb 03 cell 25
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssdseglib_tpu.boxes import Anchors
+    from ssdseglib_tpu.config import reference_warehouse_config
+    from ssdseglib_tpu.models.builder import SsdSegModel
+    from ssdseglib_tpu.layers import (
+        DecodeBoxesCentroidsOffsets,
+        NonMaximumSuppression,
+        SegmentationSuppression,
+    )
+
+    anchors_cfg, enc_cfg, model_cfg, nms_cfg, train_cfg = (
+        reference_warehouse_config()
+    )
+    anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
+    batch = train_cfg.batch_size  # 16, like the reference measurement
+
+    module = SsdSegModel(cfg=model_cfg)
+    rng = jax.random.key(0)
+    images0 = jnp.zeros((batch, 480, 640, 3), dtype=jnp.float32)
+    variables = module.init(rng, images0, train=False)
+
+    decode = DecodeBoxesCentroidsOffsets(
+        anchors.center_x, anchors.center_y, anchors.width, anchors.height,
+        *enc_cfg.standard_deviations,
+    )
+    nms = NonMaximumSuppression(
+        max_number_of_boxes_per_class=nms_cfg.max_boxes_per_class,
+        max_number_of_boxes_per_sample=nms_cfg.max_boxes_per_sample,
+        boxes_iou_threshold=nms_cfg.iou_threshold,
+        labels_probability_threshold=nms_cfg.score_threshold,
+    )
+    seg_suppression = SegmentationSuppression(num_classes=4)
+
+    @jax.jit
+    def infer(variables, images):
+        out = module.apply(variables, images, train=False)
+        labels = seg_suppression(out["output-mask"], out["output-labels"])
+        detections = nms(decode(out["output-boxes"]), labels)
+        return out["output-mask"], detections
+
+    data = np.random.default_rng(0).uniform(
+        0, 255, (batch, 480, 640, 3)
+    ).astype(np.float32)
+    images = jnp.asarray(data)
+
+    # warmup / compile
+    mask, det = infer(variables, images)
+    jax.block_until_ready((mask, det))
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        mask, det = infer(variables, images)
+    jax.block_until_ready((mask, det))
+    dt = time.perf_counter() - t0
+
+    images_per_second = steps * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "joint_inference_throughput_b16_480x640",
+                "value": round(images_per_second, 2),
+                "unit": "images/s",
+                "vs_baseline": round(
+                    images_per_second / BASELINE_IMAGES_PER_SECOND, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

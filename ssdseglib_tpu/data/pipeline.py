@@ -1,0 +1,179 @@
+"""Input pipeline: host decode/pad + threaded prefetch + device transform.
+
+Replaces the reference's tf.data pipeline (reference notebook 03 cell 8:
+from_tensor_slices -> shuffle -> map(read_and_encode) -> batch ->
+map(augmentation) -> prefetch).  The crucial difference: the reference runs
+anchor matching per sample on the host (the input-bound hot loop, SURVEY.md
+§3.1); here the host only decodes PNGs/CSVs into fixed-shape uint8/padded
+arrays and everything compute-shaped — flip, color jitter, one-hot, anchor
+matching — runs in one jitted batched program on device.
+
+Pipeline stages:
+  host threads: decode PNG/CSV -> pad -> assemble numpy batch
+  prefetch queue (double-buffered)
+  device: `make_train_batch_processor` (datacoder.py) under jit
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from ssdseglib_tpu.boxes import Anchors
+from ssdseglib_tpu.config import EncodingConfig
+from ssdseglib_tpu.data.synthetic import SyntheticSample
+from ssdseglib_tpu.datacoder import (
+    decode_png_mask,
+    decode_png_rgb,
+    make_train_batch_processor,
+    pad_ground_truth,
+    read_labels_boxes_csv,
+)
+
+PathTriple = Tuple[str, str, str]  # (image.png, mask.png, labels_boxes.csv)
+Sample = Union[PathTriple, SyntheticSample]
+
+
+def load_dataset_json(path: str, root: Optional[str] = None) -> List[PathTriple]:
+    """Load a reference-format dataset JSON: a list of
+    [image.png, mask.png, labels_boxes.csv] triples (reference data/*.json)."""
+    triples = json.load(open(path))
+    root = root or os.path.dirname(os.path.abspath(path))
+    return [tuple(os.path.join(root, p) for p in t) for t in triples]
+
+
+def _load_sample(sample: Sample, max_gt: int):
+    """Host decode of one sample into fixed-shape arrays."""
+    if isinstance(sample, SyntheticSample):
+        image, mask = sample.image, sample.mask
+        labels, boxes = sample.labels, sample.boxes
+    else:
+        image_path, mask_path, csv_path = sample
+        image = decode_png_rgb(open(image_path, "rb").read())
+        mask = decode_png_mask(open(mask_path, "rb").read())
+        labels, boxes = read_labels_boxes_csv(csv_path)
+    gl, gb, gv = pad_ground_truth(labels, boxes, max_gt)
+    return image, mask, gl, gb, gv
+
+
+class HostBatcher:
+    """Shuffling, threaded host loader producing numpy batches.
+
+    Yields (images (B,H,W,3) u8, masks (B,H,W) u8, gt_labels (B,G),
+    gt_boxes (B,G,4), gt_valid (B,G)).  Drops the trailing partial batch
+    (Keras `fit` keeps it; we need static shapes for jit — documented
+    deviation, irrelevant at the reference's 3611/16 ratio).
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[Sample],
+        batch_size: int,
+        max_ground_truth_boxes: int = 32,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ) -> None:
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.max_gt = max_ground_truth_boxes
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.samples) // self.batch_size
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_batches = len(order) // self.batch_size
+        return np.split(order[: n_batches * self.batch_size], max(n_batches, 1))
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        if not batches or batches[0].size == 0:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    loaded = list(
+                        pool.map(
+                            lambda i: _load_sample(self.samples[i], self.max_gt), idx
+                        )
+                    )
+                    images, masks, gl, gb, gv = (
+                        np.stack([s[j] for s in loaded]) for j in range(5)
+                    )
+                    q.put((images, masks, gl, gb, gv))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+class TrainDataLoader:
+    """Host batches -> jitted device transform -> (images, targets).
+
+    The returned iterable is re-iterable (fresh epoch each time), matching
+    the Trainer.fit contract.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[Sample],
+        anchors: Anchors,
+        encoding: EncodingConfig,
+        batch_size: int,
+        augmentation_horizontal_flip: bool = False,
+        augmentation_rgb: bool = False,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+    ) -> None:
+        self.batcher = HostBatcher(
+            samples,
+            batch_size,
+            max_ground_truth_boxes=encoding.max_ground_truth_boxes,
+            shuffle=shuffle,
+            seed=seed,
+            num_workers=num_workers,
+        )
+        self.process = make_train_batch_processor(
+            anchors,
+            encoding,
+            augmentation_horizontal_flip=augmentation_horizontal_flip,
+            augmentation_rgb=augmentation_rgb,
+        )
+        self._key = jax.random.key(seed)
+
+    def __len__(self) -> int:
+        return len(self.batcher)
+
+    def __iter__(self):
+        for images, masks, gl, gb, gv in self.batcher:
+            self._key, sub = jax.random.split(self._key)
+            yield self.process(sub, images, masks, gl, gb, gv)
