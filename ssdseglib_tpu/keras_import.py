@@ -1,0 +1,328 @@
+"""Keras checkpoint import: name-mapped weight transfer into Flax variables.
+
+The parity linchpin (SURVEY.md §7.4): the reference ships a trained Keras
+checkpoint (`models/mobilenetv2-deeplabv3plus-ssdlite-105-epoch.keras`,
+absent from this mount) whose weights must load into the Flax model.  The
+importer core consumes a ``{keras_layer_name: [arrays...]}`` dict — obtainable
+from a live Keras model (`weights_by_layer`), a TF-2.13 ``.keras`` zip
+(`load_keras_file`), or any other source — and produces a Flax variables
+pytree via an explicit per-layer mapping table generated from the same
+naming scheme the reference builder uses (reference models.py:62-111,
+blocks.py:25-155).
+
+Layout transforms:
+    Conv2D kernel        (kh, kw, Cin, Cout)  ->  unchanged (HWIO == Flax)
+    DepthwiseConv2D      (kh, kw, C, 1)       ->  (kh, kw, 1, C)
+    SeparableConv2D dw   (kh, kw, Cin, 1)     ->  (kh, kw, 1, Cin)
+    SeparableConv2D pw   (1, 1, Cin, Cout)    ->  unchanged
+    BatchNormalization   [gamma, beta, moving_mean, moving_var]
+                         -> params.scale/.bias + batch_stats.mean/.var
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ssdseglib_tpu.config import ModelConfig
+from ssdseglib_tpu.models.shufflenetv2 import STAGE_CHANNELS
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerMap:
+    """One Flax module <-> Keras layer(s) correspondence."""
+
+    flax_path: Tuple[str, ...]  # path of the Flax module in params
+    kind: str  # 'convbn' | 'conv' | 'conv_bias' | 'depthwisebn' | 'sepconvbn'
+    keras_conv: str  # Keras conv-ish layer name
+    keras_bn: Optional[str] = None  # Keras batchnorm layer name (if any)
+
+
+def _mobilenetv2_maps() -> List[LayerMap]:
+    maps: List[LayerMap] = []
+
+    def convbn(path, base):
+        maps.append(LayerMap(tuple(path), "convbn", f"{base}-conv", f"{base}-batchnorm"))
+
+    def dwbn(path, base):
+        maps.append(
+            LayerMap(tuple(path), "depthwisebn", f"{base}-conv", f"{base}-batchnorm")
+        )
+
+    # stem + 16 blocks (reference models.py:196-210 channel plan)
+    convbn(["backbone", "backbone-block0-expand"], "backbone-block0-expand")
+    dwbn(["backbone", "backbone-block0-depthwise"], "backbone-block0-depthwise")
+    convbn(["backbone", "backbone-block0-project"], "backbone-block0-project")
+    for block in range(1, 17):
+        convbn(
+            ["backbone", f"backbone-block{block}-expand"],
+            f"backbone-block{block}-expand",
+        )
+        dwbn(
+            ["backbone", f"backbone-block{block}-depthwise"],
+            f"backbone-block{block}-depthwise",
+        )
+        convbn(
+            ["backbone", f"backbone-block{block}-project"],
+            f"backbone-block{block}-project",
+        )
+    # extra detection feature blocks (models.py:234-244)
+    for block in (17, 18):
+        maps.append(
+            LayerMap(
+                (f"backbone-block{block}",),
+                "sepconvbn",
+                f"backbone-block{block}-sepconv",
+                f"backbone-block{block}-batchnorm",
+            )
+        )
+    return maps
+
+
+def _shufflenetv2_maps(cfg: ModelConfig) -> List[LayerMap]:
+    maps: List[LayerMap] = [
+        LayerMap(("backbone", "backbone-stage1-conv"), "conv_bias",
+                 "backbone-stage1-conv")
+    ]
+    extra_dw = cfg.shufflenet_extra_depthwise
+
+    def dwbn(path, conv, bn):
+        maps.append(LayerMap(tuple(path), "depthwisebn", conv, bn))
+
+    def convbn(path, conv, bn):
+        maps.append(LayerMap(tuple(path), "convbn", conv, bn))
+
+    for stage, n_blocks in ((2, 3), (3, 7), (4, 3)):
+        p = f"backbone-stage{stage}-downblock-"
+        dwbn(["backbone", f"{p}branch-left-depthconv1"],
+             f"{p}branch-left-depthconv1", f"{p}branch-left-batchnorm1")
+        convbn(["backbone", f"{p}branch-left-conv2"],
+               f"{p}branch-left-conv2", f"{p}branch-left-batchnorm2")
+        if extra_dw:
+            dwbn(["backbone", f"{p}branch-right-depthconv0"],
+                 f"{p}branch-right-depthconv0", f"{p}branch-right-batchnorm0")
+        convbn(["backbone", f"{p}branch-right-conv1"],
+               f"{p}branch-right-conv1", f"{p}branch-right-batchnorm1")
+        dwbn(["backbone", f"{p}branch-right-depthconv2"],
+             f"{p}branch-right-depthconv2", f"{p}branch-right-batchnorm2")
+        convbn(["backbone", f"{p}branch-right-conv3"],
+               f"{p}branch-right-conv3", f"{p}branch-right-batchnorm3")
+        for b in range(1, n_blocks + 1):
+            p = f"backbone-stage{stage}-block{b}-"
+            if extra_dw:
+                dwbn(["backbone", f"{p}branch-conv-depthconv0"],
+                     f"{p}branch-conv-depthconv0", f"{p}branch-conv-batchnorm0")
+            convbn(["backbone", f"{p}branch-conv-conv1"],
+                   f"{p}branch-conv-conv1", f"{p}branch-conv-batchnorm1")
+            dwbn(["backbone", f"{p}branch-conv-depthconv2"],
+                 f"{p}branch-conv-depthconv2", f"{p}branch-conv-batchnorm2")
+            convbn(["backbone", f"{p}branch-conv-conv3"],
+                   f"{p}branch-conv-conv3", f"{p}branch-conv-batchnorm3")
+    for block in (1, 2):
+        maps.append(
+            LayerMap(
+                (f"backbone-stage5-block{block}",),
+                "sepconvbn",
+                f"backbone-stage5-block{block}-sepconv",
+                f"backbone-stage5-block{block}-batchnorm",
+            )
+        )
+    return maps
+
+
+def _head_maps(cfg: ModelConfig) -> List[LayerMap]:
+    maps: List[LayerMap] = []
+    # DeepLabV3+ encoder (reference blocks.py:25-72 naming)
+    maps.append(
+        LayerMap(("mask-encoder", "aspp-pointwise"), "convbn",
+                 "mask-encoder-aspp-pointwise-conv",
+                 "mask-encoder-aspp-pointwise-batchnorm")
+    )
+    for k in (1, 2, 3):
+        maps.append(
+            LayerMap(("mask-encoder", f"aspp-atrous{k}"), "sepconvbn",
+                     f"mask-encoder-aspp-atrous{k}-sepconv",
+                     f"mask-encoder-aspp-atrous{k}-batchnorm")
+        )
+    maps.append(
+        LayerMap(("mask-encoder", "pooling"), "convbn",
+                 "mask-encoder-pooling-conv", "mask-encoder-pooling-batchnorm")
+    )
+    maps.append(
+        LayerMap(("mask-encoder", "output"), "convbn",
+                 "mask-encoder-output-conv", "mask-encoder-output-batchnorm")
+    )
+    # decoder (blocks.py:100-129 naming)
+    maps.append(
+        LayerMap(("mask-decoder", "backbone-reduce"), "convbn",
+                 "mask-decoder-backbone-conv", "mask-decoder-backbone-batchnorm")
+    )
+    maps.append(
+        LayerMap(("mask-decoder", "conv"), "convbn",
+                 "mask-decoder-conv", "mask-decoder-conv-batchnorm")
+    )
+    maps.append(
+        LayerMap(("mask-decoder", "sepconv"), "sepconvbn",
+                 "mask-decoder-sepconv", "mask-decoder-sepconv-batchnorm")
+    )
+    maps.append(
+        LayerMap(("mask-decoder", "output-conv"), "conv",
+                 "mask-decoder-output-conv")
+    )
+    # SSDLite heads (models.py:250-268 naming)
+    for branch in ("labels", "boxes"):
+        for k in (1, 2, 3, 4):
+            maps.append(
+                LayerMap(("heads", f"{branch}{k}", "sepconv"), "sepconvbn",
+                         f"{branch}{k}-sepconv", f"{branch}{k}-batchnorm")
+            )
+    return maps
+
+
+def build_layer_maps(cfg: ModelConfig) -> List[LayerMap]:
+    if cfg.backbone == "mobilenetv2":
+        maps = _mobilenetv2_maps()
+    elif cfg.backbone == "shufflenetv2":
+        maps = _shufflenetv2_maps(cfg)
+    else:
+        raise ValueError(cfg.backbone)
+    return maps + _head_maps(cfg)
+
+
+# ---------------------------------------------------------------------------
+# importer core
+# ---------------------------------------------------------------------------
+
+def _set_path(tree: Dict, path: Sequence[str], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def import_keras_weights(
+    weights_by_layer: Dict[str, List[np.ndarray]],
+    cfg: ModelConfig,
+) -> Dict[str, Any]:
+    """Build a Flax variables pytree from Keras layer weights.
+
+    Args:
+        weights_by_layer: {keras layer name: [weight arrays in Keras order]}
+        cfg: the model configuration (drives the mapping table)
+    Returns:
+        {'params': ..., 'batch_stats': ...}
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    used = set()
+
+    def take(name: str) -> List[np.ndarray]:
+        if name not in weights_by_layer:
+            raise KeyError(f"keras layer {name!r} not found in checkpoint")
+        used.add(name)
+        return [np.asarray(w) for w in weights_by_layer[name]]
+
+    def put_bn(flax_path: Tuple[str, ...], keras_bn: str) -> None:
+        gamma, beta, mean, var = take(keras_bn)
+        _set_path(params, flax_path + ("batchnorm", "scale"), gamma)
+        _set_path(params, flax_path + ("batchnorm", "bias"), beta)
+        _set_path(stats, flax_path + ("batchnorm", "mean"), mean)
+        _set_path(stats, flax_path + ("batchnorm", "var"), var)
+
+    for m in build_layer_maps(cfg):
+        if m.kind == "convbn":
+            (kernel,) = take(m.keras_conv)
+            _set_path(params, m.flax_path + ("conv", "kernel"), kernel)
+            put_bn(m.flax_path, m.keras_bn)
+        elif m.kind == "conv":
+            (kernel,) = take(m.keras_conv)
+            _set_path(params, m.flax_path + ("kernel",), kernel)
+        elif m.kind == "conv_bias":
+            kernel, bias = take(m.keras_conv)
+            _set_path(params, m.flax_path + ("kernel",), kernel)
+            _set_path(params, m.flax_path + ("bias",), bias)
+        elif m.kind == "depthwisebn":
+            (kernel,) = take(m.keras_conv)  # (kh, kw, C, 1)
+            _set_path(
+                params,
+                m.flax_path + ("conv", "kernel"),
+                np.transpose(kernel, (0, 1, 3, 2)),
+            )
+            put_bn(m.flax_path, m.keras_bn)
+        elif m.kind == "sepconvbn":
+            dw, pw = take(m.keras_conv)
+            _set_path(
+                params,
+                m.flax_path + ("depthwise", "kernel"),
+                np.transpose(dw, (0, 1, 3, 2)),
+            )
+            _set_path(params, m.flax_path + ("pointwise", "kernel"), pw)
+            put_bn(m.flax_path, m.keras_bn)
+        else:
+            raise ValueError(m.kind)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def weights_by_layer_from_keras_model(model) -> Dict[str, List[np.ndarray]]:
+    """Extract {layer name: weights} from a live Keras model."""
+    return {
+        layer.name: [np.asarray(w) for w in layer.get_weights()]
+        for layer in model.layers
+        if layer.get_weights()
+    }
+
+
+def load_keras_file(path: str) -> Dict[str, List[np.ndarray]]:
+    """Read a TF-2.13 `.keras` zip (the reference checkpoint format) into a
+    {layer name: [arrays]} dict.
+
+    The 2.13 saved layout keys weights by layer name under
+    `_layer_checkpoint_dependencies/<name>/vars/<i>` inside
+    `model.weights.h5`.
+    """
+    import io
+    import zipfile
+
+    import h5py
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("model.weights.h5") as fh:
+            h5 = h5py.File(io.BytesIO(fh.read()), "r")
+
+    out: Dict[str, List[np.ndarray]] = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            parts = name.split("/")
+            if "vars" in parts:
+                i = parts.index("vars")
+                layer = parts[i - 1]
+                out.setdefault(layer, []).append((int(parts[i + 1]), obj[()]))
+
+    h5.visititems(visit)
+    return {
+        layer: [arr for _, arr in sorted(items)] for layer, items in out.items()
+    }
+
+
+def validate_against_template(variables: Dict, template: Dict) -> None:
+    """Check the imported tree matches the model's init shapes exactly."""
+    import jax
+
+    imported = jax.tree_util.tree_flatten_with_path(variables)[0]
+    expected = jax.tree_util.tree_flatten_with_path(template)[0]
+    exp = {tuple(str(k) for k in kp): leaf.shape for kp, leaf in expected}
+    imp = {tuple(str(k) for k in kp): leaf.shape for kp, leaf in imported}
+    missing = set(exp) - set(imp)
+    extra = set(imp) - set(exp)
+    if missing or extra:
+        raise ValueError(
+            f"import mismatch: missing={sorted(missing)[:5]} "
+            f"extra={sorted(extra)[:5]}"
+        )
+    for k in exp:
+        if tuple(exp[k]) != tuple(imp[k]):
+            raise ValueError(f"{k}: shape {imp[k]} != expected {exp[k]}")

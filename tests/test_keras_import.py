@@ -1,0 +1,90 @@
+"""The ultimate architecture-parity test: build the reference Keras model,
+import its (random-init) weights into the Flax model, and demand matching
+activations on the same input — end to end through backbone, ASPP head,
+decoder, and all eight SSDLite branches."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssdseglib_tpu.config import ModelConfig
+from ssdseglib_tpu.keras_import import (
+    import_keras_weights,
+    validate_against_template,
+    weights_by_layer_from_keras_model,
+)
+from ssdseglib_tpu.models.builder import SsdSegModel
+
+INPUT_SHAPE = (96, 128, 3)  # reduced resolution: same params, faster test
+
+
+@pytest.fixture(scope="module")
+def reference_model(reference):
+    rng = np.random.default_rng(0)
+    n_boxes = (12 * 16 + 6 * 8 + 3 * 4 + 2 * 2) * 6
+    builder = reference.models.MobileNetV2SsdSegBuilder(
+        input_image_shape=INPUT_SHAPE,
+        number_of_boxes_per_point=6,
+        number_of_classes=4,
+        center_x_boxes_default=rng.uniform(0, 128, n_boxes).astype(np.float32),
+        center_y_boxes_default=rng.uniform(0, 96, n_boxes).astype(np.float32),
+        width_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        height_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        standard_deviations_centroids_offsets=(0.1, 0.1, 0.2, 0.2),
+    )
+    model = builder.get_model_for_training(
+        segmentation_architecture="deeplabv3plus",
+        object_detection_architecture="ssdlite",
+        segmentation_dilation_rates=(3, 6, 12),
+    )
+    return model
+
+
+@pytest.fixture(scope="module")
+def flax_setup():
+    cfg = ModelConfig(
+        input_image_shape=INPUT_SHAPE,
+        number_of_classes=4,
+        boxes_per_point=(6, 6, 6, 6),
+        backbone="mobilenetv2",
+        segmentation_dilation_rates=(3, 6, 12),
+    )
+    module = SsdSegModel(cfg=cfg)
+    template = module.init(
+        jax.random.key(0), jnp.zeros((1,) + INPUT_SHAPE), train=False
+    )
+    return cfg, module, template
+
+
+def test_import_covers_every_parameter(reference_model, flax_setup):
+    cfg, _, template = flax_setup
+    weights = weights_by_layer_from_keras_model(reference_model)
+    variables = import_keras_weights(weights, cfg)
+    validate_against_template(variables, template)
+
+
+def test_activation_parity_with_keras(reference_model, flax_setup):
+    cfg, module, template = flax_setup
+    weights = weights_by_layer_from_keras_model(reference_model)
+    variables = import_keras_weights(weights, cfg)
+    validate_against_template(variables, template)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 255, (2,) + INPUT_SHAPE).astype(np.float32)
+
+    ref_mask, ref_labels, ref_boxes = [
+        np.asarray(o) for o in reference_model(x, training=False)
+    ]
+    ours = module.apply(variables, jnp.asarray(x), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(ours["output-boxes"]), ref_boxes, rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output-labels"]), ref_labels, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output-mask"]), ref_mask, rtol=1e-3, atol=1e-4
+    )
