@@ -81,6 +81,8 @@ class HostBatcher:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        use_native: bool = True,
+        image_shape: Optional[Tuple[int, int]] = None,
     ) -> None:
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -89,6 +91,24 @@ class HostBatcher:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
+
+        # native C++ batch assembler (PNG/CSV decode + worker pool) for
+        # on-disk datasets; python/PIL path otherwise
+        self._native = None
+        all_paths = all(
+            not isinstance(s, SyntheticSample) for s in self.samples
+        )
+        if use_native and all_paths and self.samples and image_shape:
+            try:
+                from ssdseglib_tpu.data import native_loader
+
+                self._native = native_loader.NativeBatchLoader(
+                    image_shape,
+                    max_ground_truth_boxes=max_ground_truth_boxes,
+                    num_workers=num_workers,
+                )
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.samples) // self.batch_size
@@ -108,6 +128,13 @@ class HostBatcher:
         stop = threading.Event()
 
         def producer():
+            if self._native is not None:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._native.load_batch([self.samples[i] for i in idx]))
+                q.put(None)
+                return
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for idx in batches:
                     if stop.is_set():
@@ -161,6 +188,7 @@ class TrainDataLoader:
             shuffle=shuffle,
             seed=seed,
             num_workers=num_workers,
+            image_shape=encoding.image_shape,
         )
         self.process = make_train_batch_processor(
             anchors,
