@@ -196,13 +196,23 @@ class Trainer:
         checkpointer=None,
         log_fn: Callable[[str], None] = print,
         steps_per_epoch: Optional[int] = None,
+        metrics_logger=None,
+        resume: bool = False,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Epoch loop over (images, targets) batches.
 
         `train_data` / `validation_data` are callables returning a fresh
-        iterator per epoch, or re-iterable objects.
+        iterator per epoch, or re-iterable objects.  With `resume=True` and
+        a checkpointer holding a prior step, training restarts from the
+        latest checkpoint (the failure-recovery story the reference lacks —
+        SURVEY.md §5: a crashed Keras fit loses all 105 epochs).
         """
         epochs = epochs or self.config.epochs
+        if resume and checkpointer is not None:
+            latest = checkpointer.latest_step()
+            if latest is not None:
+                state = checkpointer.restore(jax.device_get(state))
+                log_fn(f"resumed from checkpoint step {latest}")
         train_step = self.train_step_fn()
         eval_step = self.eval_step_fn()
         history: Dict[str, list] = {}
@@ -249,8 +259,13 @@ class Trainer:
                 if f"val_{k}" in history:
                     msg += f" val_{k}={history[f'val_{k}'][-1]:.4f}"
             log_fn(msg)
+            if metrics_logger is not None:
+                metrics_logger.log(
+                    {k: v[-1] for k, v in history.items()},
+                    step=int(np.asarray(state.step)),
+                )
 
             if checkpointer is not None:
-                checkpointer.save(int(np.asarray(state.step)), state)
+                checkpointer.save(int(np.asarray(state.step)), jax.device_get(state))
 
         return state, history

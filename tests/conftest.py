@@ -53,6 +53,24 @@ def reference():
                 return deco
 
         tf.keras.saving = _Saving()
+
+    # Keras 3 dropped KerasTensor.get_shape(), which the reference's
+    # ShuffleNet channel-shuffle block calls (reference models.py:494)
+    try:
+        from keras import KerasTensor
+
+        if not hasattr(KerasTensor, "get_shape"):
+            class _ShapeWrapper:
+                def __init__(self, s):
+                    self._s = s
+
+                def as_list(self):
+                    return list(self._s)
+
+            KerasTensor.get_shape = lambda self: _ShapeWrapper(self.shape)
+    except ImportError:
+        pass
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import ssdseglib as ref  # noqa: F401

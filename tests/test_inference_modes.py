@@ -1,0 +1,96 @@
+"""Serving-mode tests: bf16 fast path closeness, Split layer, misc mirrors."""
+
+import jax
+import numpy as np
+import pytest
+
+from ssdseglib_tpu.layers import Split
+from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
+
+
+def _builder(n_boxes):
+    rng = np.random.default_rng(0)
+    return MobileNetV2SsdSegBuilder(
+        input_image_shape=(96, 128, 3),
+        number_of_boxes_per_point=6,
+        number_of_classes=4,
+        center_x_boxes_default=rng.uniform(0, 128, n_boxes).astype(np.float32),
+        center_y_boxes_default=rng.uniform(0, 96, n_boxes).astype(np.float32),
+        width_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        height_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        standard_deviations_centroids_offsets=(0.1, 0.1, 0.2, 0.2),
+    )
+
+
+def test_bf16_serving_close_to_f32():
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = _builder(n_boxes)
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+
+    kwargs = dict(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=False,
+    )
+    inf_f32 = builder.get_model_for_inference(**kwargs)
+    inf_bf16 = builder.get_model_for_inference(
+        compute_dtype="bfloat16", **kwargs
+    )
+
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32)
+    mask32, det32 = inf_f32.predict(images)
+    mask16, det16 = inf_bf16.predict(images)
+
+    assert mask16.dtype == np.float32
+    np.testing.assert_allclose(mask16, mask32, atol=0.02)
+    # detections: same label set at this loose threshold; box coords close
+    np.testing.assert_allclose(det16[..., 0], det32[..., 0], atol=0)
+    np.testing.assert_allclose(det16[..., 1], det32[..., 1], atol=0.02)
+
+
+def test_split_layer():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
+    a, b = Split(num_or_size_splits=2, axis=-1)(x)
+    np.testing.assert_array_equal(np.asarray(a), x[..., :4])
+    np.testing.assert_array_equal(np.asarray(b), x[..., 4:])
+
+    a, b, c = Split(num_or_size_splits=[1, 3, 4], axis=-1)(x)
+    assert a.shape[-1] == 1 and b.shape[-1] == 3 and c.shape[-1] == 4
+
+
+def test_augmentation_rgb_channels_mirror():
+    from ssdseglib_tpu.datacoder import augmentation_rgb_channels
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32)
+    targets = {"output-mask": np.zeros((2, 8, 8, 4), np.float32)}
+    out_images, out_targets = augmentation_rgb_channels(
+        images, targets, key=jax.random.key(0)
+    )
+    assert out_images.shape == images.shape
+    assert out_targets is targets
+    assert float(np.asarray(out_images).min()) >= 0.0
+    assert float(np.asarray(out_images).max()) <= 255.0
+
+
+def test_read_image_mirror(tmp_path):
+    from PIL import Image
+
+    from ssdseglib_tpu.datacoder import read_image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    path = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(path)
+    out = read_image(path)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out.astype(np.uint8), arr)
