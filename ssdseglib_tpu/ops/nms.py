@@ -91,10 +91,20 @@ def _greedy_select(
     return keep
 
 
+def _use_pallas_default() -> bool:
+    """Pallas TPU lowering for the greedy scan on TPU backends; the XLA
+    fori_loop elsewhere (CPU tests, non-TPU platforms)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def combined_nms(
     boxes_yx: jnp.ndarray,
     scores: jnp.ndarray,
     cfg: NmsConfig,
+    use_pallas: bool = None,
 ) -> Dict[str, jnp.ndarray]:
     """Combined per-class NMS with shared boxes.
 
@@ -126,7 +136,18 @@ def combined_nms(
     cand_valid = cand_scores > cfg.score_threshold
 
     iou = _pairwise_iou_yx(cand_boxes)  # (B, C, K, K)
-    keep = _greedy_select(iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from ssdseglib_tpu.ops.nms_pallas import greedy_select_pallas
+
+        keep = greedy_select_pallas(
+            iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+        )
+    else:
+        keep = _greedy_select(
+            iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+        )
 
     # combine across classes: class-major flatten, stable top-T by score
     flat_scores = jnp.where(keep, cand_scores, -jnp.inf).reshape(B, C * K)
