@@ -170,20 +170,31 @@ class InferenceModel:
         use_segmentation_suppression: bool,
         suppress_background_boxes: bool,
         compute_dtype: str = "float32",
+        mesh=None,
     ) -> None:
         """compute_dtype: 'bfloat16' selects the serving fast path — params
         and conv compute in bf16 on the MXU (+~25% throughput on v5e, mask
         probabilities within ~1e-3 of f32); postprocessing (decode, gating,
-        NMS) always runs in f32."""
+        NMS) always runs in f32.
+
+        mesh: optional `jax.sharding.Mesh` — inference batches are sharded
+        over the mesh's data axis with replicated params (multi-chip
+        batch-parallel serving; XLA handles the one cross-chip reduction in
+        the batch-global segmentation suppression)."""
         self.module = module
         self.variables = variables
         self._suppress_background = suppress_background_boxes
         self._compute_dtype = jnp.dtype(compute_dtype)
+        self.mesh = mesh
         if self._compute_dtype != jnp.float32:
             variables = jax.tree_util.tree_map(
                 lambda a: a.astype(self._compute_dtype), variables
             )
             self.variables = variables
+        if mesh is not None:
+            from ssdseglib_tpu.parallel import mesh as mesh_lib
+
+            self.variables = mesh_lib.replicate(mesh, self.variables)
         seg_suppression = SegmentationSuppression(
             num_classes=4  # reference hardcodes depth=4 (layers.py:204)
         )
@@ -214,13 +225,21 @@ class InferenceModel:
 
         self._forward = jax.jit(forward)
 
+    def _prepare(self, images):
+        images = jnp.asarray(images)
+        if self.mesh is not None:
+            from ssdseglib_tpu.parallel import mesh as mesh_lib
+
+            images = mesh_lib.shard_batch(self.mesh, images)
+        return images
+
     def __call__(self, images):
-        return self._forward(self.variables, images)
+        return self._forward(self.variables, self._prepare(images))
 
     def predict(self, images):
         """NumPy-in/NumPy-out convenience, applying the optional host-side
         background-box filter (reference layers.py:165-166)."""
-        mask, det = self._forward(self.variables, jnp.asarray(images))
+        mask, det = self._forward(self.variables, self._prepare(images))
         mask, det = np.asarray(mask), np.asarray(det)
         if self._suppress_background:
             det = det[det[..., 0] > 0.0]
@@ -288,11 +307,13 @@ class _BuilderBase:
         suppress_background_boxes: bool,
         use_segmentation_suppression: bool,
         compute_dtype: str = "float32",
+        mesh=None,
     ) -> InferenceModel:
         """Args:
             model_trained: the trained variables pytree (params +
                 batch_stats), or a (TrainableModel, variables) tuple.
             compute_dtype: 'bfloat16' for the MXU serving fast path.
+            mesh: optional Mesh for multi-chip batch-parallel serving.
         """
         if isinstance(model_trained, tuple):
             trainable, variables = model_trained
@@ -322,6 +343,7 @@ class _BuilderBase:
             use_segmentation_suppression=use_segmentation_suppression,
             suppress_background_boxes=suppress_background_boxes,
             compute_dtype=compute_dtype,
+            mesh=mesh,
         )
 
 

@@ -1,0 +1,50 @@
+"""Multi-chip batch-parallel inference: sharded mesh output must match the
+single-device output exactly (incl. the batch-global segmentation
+suppression, which becomes a cross-chip reduction under SPMD)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
+from ssdseglib_tpu.parallel import mesh as mesh_lib
+
+
+def test_mesh_inference_matches_single_device():
+    assert jax.device_count() >= 8
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    rng = np.random.default_rng(0)
+    builder = MobileNetV2SsdSegBuilder(
+        input_image_shape=(96, 128, 3),
+        number_of_boxes_per_point=6,
+        number_of_classes=4,
+        center_x_boxes_default=rng.uniform(0, 128, n_boxes).astype(np.float32),
+        center_y_boxes_default=rng.uniform(0, 96, n_boxes).astype(np.float32),
+        width_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        height_boxes_default=rng.uniform(5, 40, n_boxes).astype(np.float32),
+        standard_deviations_centroids_offsets=(0.1, 0.1, 0.2, 0.2),
+    )
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+
+    kwargs = dict(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+    )
+    single = builder.get_model_for_inference(**kwargs)
+    mesh = mesh_lib.make_mesh(jax.devices()[:8])
+    sharded = builder.get_model_for_inference(mesh=mesh, **kwargs)
+
+    images = rng.uniform(0, 255, (8, 96, 128, 3)).astype(np.float32)
+    mask1, det1 = single.predict(images)
+    mask8, det8 = sharded.predict(images)
+
+    np.testing.assert_allclose(mask8, mask1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(det8, det1, rtol=1e-3, atol=1e-4)
