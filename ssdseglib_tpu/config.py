@@ -119,6 +119,10 @@ class TrainConfig:
     augmentation_rgb: bool = True
     checkpoint_dir: Optional[str] = None
     checkpoint_every_steps: int = 1000
+    # 'bfloat16' = mixed-precision training: f32 master params/optimizer,
+    # bf16 forward/backward on the MXU, f32 losses.  bf16 shares f32's
+    # exponent range so no loss scaling is needed.
+    compute_dtype: str = "float32"
 
 
 def reference_warehouse_config():

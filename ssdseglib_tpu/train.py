@@ -143,15 +143,38 @@ class Trainer:
         module = self.model.module
         tx = self.tx
 
+        compute_dtype = jnp.dtype(self.config.compute_dtype)
+        mixed = compute_dtype != jnp.float32
+
         def loss_fn(params, batch_stats, images, targets):
+            if mixed:
+                # mixed precision: grads flow through the cast back to the
+                # f32 master params; losses/metrics and the stored BN
+                # statistics stay f32
+                apply_vars = {
+                    "params": jax.tree_util.tree_map(
+                        lambda x: x.astype(compute_dtype), params
+                    ),
+                    "batch_stats": jax.tree_util.tree_map(
+                        lambda x: x.astype(compute_dtype), batch_stats
+                    ),
+                }
+                images = images.astype(compute_dtype)
+            else:
+                apply_vars = {"params": params, "batch_stats": batch_stats}
             outputs, mutated = module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
+                apply_vars, images, train=True, mutable=["batch_stats"]
             )
+            outputs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), outputs
+            )
+            new_stats = mutated["batch_stats"]
+            if mixed:
+                new_stats = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), new_stats
+                )
             total, metrics = self._losses_and_metrics(outputs, targets)
-            return total, (mutated["batch_stats"], metrics)
+            return total, (new_stats, metrics)
 
         @jax.jit
         def train_step(state: TrainState, images, targets):
