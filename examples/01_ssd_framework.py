@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from ssdseglib_tpu.boxes import Anchors, DefaultBoundingBoxes
+from ssdseglib_tpu.boxes import DefaultBoundingBoxes
 from ssdseglib_tpu.datacoder import DataEncoderDecoder
 from ssdseglib_tpu.data.synthetic import generate_sample
 

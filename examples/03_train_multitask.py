@@ -57,6 +57,8 @@ def main() -> None:
 
     # data
     if args.data:
+        if not os.path.exists(args.data):
+            parser.error(f"--data file not found: {args.data}")
         triples = load_dataset_json(args.data)
         train_samples = triples[: -args.eval_samples]
         eval_samples = triples[-args.eval_samples:]

@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv as _csv
 import functools
 import io
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

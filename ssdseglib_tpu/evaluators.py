@@ -16,7 +16,7 @@ sometimes unusual — semantics, so they are reproduced rather than "fixed"
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -27,7 +27,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ssdseglib_tpu.config import ModelConfig
-from ssdseglib_tpu.models.shufflenetv2 import STAGE_CHANNELS
 
 
 @dataclasses.dataclass(frozen=True)

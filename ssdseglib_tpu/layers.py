@@ -8,7 +8,7 @@ so configuration code translates one-to-one.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import List, Sequence, Union
 
 import jax.numpy as jnp
 import numpy as np

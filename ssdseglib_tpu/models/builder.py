@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssdseglib_tpu.config import ModelConfig, NmsConfig
+from ssdseglib_tpu.config import ModelConfig
 from ssdseglib_tpu.layers import (
     DecodeBoxesCentroidsOffsets,
     NonMaximumSuppression,

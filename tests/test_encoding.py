@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from ssdseglib_tpu.boxes import Anchors
-from ssdseglib_tpu.config import AnchorsConfig, EncodingConfig
+from ssdseglib_tpu.config import AnchorsConfig
 from ssdseglib_tpu.datacoder import DataEncoderDecoder
 
 IMAGE_SHAPE = (96, 128)

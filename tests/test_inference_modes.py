@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from ssdseglib_tpu.layers import Split
 from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder

@@ -4,7 +4,6 @@ suppression, which becomes a cross-chip reduction under SPMD)."""
 
 import jax
 import numpy as np
-import pytest
 
 from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
 from ssdseglib_tpu.parallel import mesh as mesh_lib

@@ -16,7 +16,7 @@ from ssdseglib_tpu.data.pipeline import TrainDataLoader
 from ssdseglib_tpu.data.synthetic import generate_dataset
 from ssdseglib_tpu.models.builder import SsdSegModel, TrainableModel
 from ssdseglib_tpu.parallel import mesh as mesh_lib
-from ssdseglib_tpu.train import Trainer, TrainState
+from ssdseglib_tpu.train import Trainer
 
 IMAGE_SHAPE = (96, 128)
 
