@@ -307,6 +307,73 @@ def load_keras_file(path: str) -> Dict[str, List[np.ndarray]]:
     }
 
 
+def _get_path(tree: Dict, path: Sequence[str]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def export_keras_weights(
+    variables: Dict[str, Any], cfg: ModelConfig
+) -> Dict[str, List[np.ndarray]]:
+    """Inverse of `import_keras_weights`: Flax variables -> Keras layer dict.
+
+    Produces ``{keras layer name: [weights in Keras order]}`` ready for
+    `apply_to_keras_model` (or for packaging into a checkpoint), so models
+    trained in this framework can flow back to reference-era tooling.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, List[np.ndarray]] = {}
+
+    def bn(flax_path: Tuple[str, ...], keras_bn: str) -> None:
+        out[keras_bn] = [
+            np.asarray(_get_path(params, flax_path + ("batchnorm", "scale"))),
+            np.asarray(_get_path(params, flax_path + ("batchnorm", "bias"))),
+            np.asarray(_get_path(stats, flax_path + ("batchnorm", "mean"))),
+            np.asarray(_get_path(stats, flax_path + ("batchnorm", "var"))),
+        ]
+
+    for m in build_layer_maps(cfg):
+        if m.kind == "convbn":
+            out[m.keras_conv] = [
+                np.asarray(_get_path(params, m.flax_path + ("conv", "kernel")))
+            ]
+            bn(m.flax_path, m.keras_bn)
+        elif m.kind == "conv":
+            out[m.keras_conv] = [
+                np.asarray(_get_path(params, m.flax_path + ("kernel",)))
+            ]
+        elif m.kind == "conv_bias":
+            out[m.keras_conv] = [
+                np.asarray(_get_path(params, m.flax_path + ("kernel",))),
+                np.asarray(_get_path(params, m.flax_path + ("bias",))),
+            ]
+        elif m.kind == "depthwisebn":
+            kernel = np.asarray(_get_path(params, m.flax_path + ("conv", "kernel")))
+            out[m.keras_conv] = [np.transpose(kernel, (0, 1, 3, 2))]
+            bn(m.flax_path, m.keras_bn)
+        elif m.kind == "sepconvbn":
+            dw = np.asarray(_get_path(params, m.flax_path + ("depthwise", "kernel")))
+            pw = np.asarray(_get_path(params, m.flax_path + ("pointwise", "kernel")))
+            out[m.keras_conv] = [np.transpose(dw, (0, 1, 3, 2)), pw]
+            bn(m.flax_path, m.keras_bn)
+        else:
+            raise ValueError(m.kind)
+    return out
+
+
+def apply_to_keras_model(model, weights_by_layer: Dict[str, List[np.ndarray]]):
+    """Load a `{layer name: [weights]}` dict into a live Keras model."""
+    for layer in model.layers:
+        if layer.get_weights():
+            if layer.name not in weights_by_layer:
+                raise KeyError(f"no exported weights for layer {layer.name!r}")
+            layer.set_weights(weights_by_layer[layer.name])
+    return model
+
+
 def validate_against_template(variables: Dict, template: Dict) -> None:
     """Check the imported tree matches the model's init shapes exactly."""
     import jax

@@ -88,3 +88,46 @@ def test_activation_parity_with_keras(reference_model, flax_setup):
     np.testing.assert_allclose(
         np.asarray(ours["output-mask"]), ref_mask, rtol=1e-3, atol=1e-4
     )
+
+
+def test_export_roundtrip(reference_model, flax_setup):
+    """import -> export -> import is the identity on every weight."""
+    from ssdseglib_tpu.keras_import import export_keras_weights
+
+    cfg, _, _ = flax_setup
+    weights = weights_by_layer_from_keras_model(reference_model)
+    variables = import_keras_weights(weights, cfg)
+    exported = export_keras_weights(jax.device_get(variables), cfg)
+
+    assert set(exported) == set(weights)
+    for name in weights:
+        assert len(exported[name]) == len(weights[name]), name
+        for a, b in zip(exported[name], weights[name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_into_keras_model_activation_parity(reference_model, flax_setup):
+    """Flax-trained weights pushed INTO the Keras model reproduce the Flax
+    outputs — the reverse direction of the import parity test."""
+    from ssdseglib_tpu.keras_import import apply_to_keras_model, export_keras_weights
+
+    cfg, module, template = flax_setup
+    # fresh flax init (different from the Keras random init)
+    variables = module.init(
+        jax.random.key(7), jnp.zeros((1,) + INPUT_SHAPE), train=False
+    )
+    exported = export_keras_weights(jax.device_get(variables), cfg)
+    apply_to_keras_model(reference_model, exported)
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 255, (2,) + INPUT_SHAPE).astype(np.float32)
+    ref_mask, ref_labels, ref_boxes = [
+        np.asarray(o) for o in reference_model(x, training=False)
+    ]
+    ours = module.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours["output-mask"]), ref_mask, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output-boxes"]), ref_boxes, rtol=1e-3, atol=1e-3
+    )
