@@ -4,11 +4,12 @@ Baseline (BASELINE.md): the reference runs batch-16 480x640 joint inference
 (mask + box decode + NMS + segmentation suppression) at ~2 s/step ==
 8.9 images/s on the author's machine.  North star: >= 10x on one v5e chip.
 
-Measurement protocol: serving configuration (bf16 conv compute on the MXU,
-f32 postprocessing — mask probabilities within ~1e-3 of the f32 path),
-distinct input batches each step (no identical-launch shortcuts), steady
-pipelined dispatch with a final block_until_ready fence — the realistic
-streaming-inference pattern.
+Measurement protocol: the public serving path
+(`builder.get_model_for_inference` with compute_dtype='bfloat16' and the
+fused Pallas MBConv backbone — mask probabilities within ~1e-3 of the f32
+path), distinct input batches each step (no identical-launch shortcuts),
+steady pipelined dispatch with a final block_until_ready fence — the
+realistic streaming-inference pattern.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
@@ -29,12 +30,7 @@ def main() -> None:
 
     from ssdseglib_tpu.boxes import Anchors
     from ssdseglib_tpu.config import reference_warehouse_config
-    from ssdseglib_tpu.models.builder import SsdSegModel
-    from ssdseglib_tpu.layers import (
-        DecodeBoxesCentroidsOffsets,
-        NonMaximumSuppression,
-        SegmentationSuppression,
-    )
+    from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
 
     anchors_cfg, enc_cfg, model_cfg, nms_cfg, train_cfg = (
         reference_warehouse_config()
@@ -42,37 +38,31 @@ def main() -> None:
     anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
     batch = train_cfg.batch_size  # 16, like the reference measurement
 
-    module = SsdSegModel(cfg=model_cfg)
-    rng = jax.random.key(0)
-    images0 = jnp.zeros((batch, 480, 640, 3), dtype=jnp.float32)
-    variables = module.init(rng, images0, train=False)
-    variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), variables
+    builder = MobileNetV2SsdSegBuilder(
+        input_image_shape=model_cfg.input_image_shape,
+        number_of_boxes_per_point=list(model_cfg.boxes_per_point),
+        number_of_classes=model_cfg.number_of_classes,
+        center_x_boxes_default=anchors.center_x,
+        center_y_boxes_default=anchors.center_y,
+        width_boxes_default=anchors.width,
+        height_boxes_default=anchors.height,
+        standard_deviations_centroids_offsets=enc_cfg.standard_deviations,
     )
-
-    decode = DecodeBoxesCentroidsOffsets(
-        anchors.center_x, anchors.center_y, anchors.width, anchors.height,
-        *enc_cfg.standard_deviations,
+    model = builder.get_model_for_training(
+        segmentation_dilation_rates=model_cfg.segmentation_dilation_rates
     )
-    nms = NonMaximumSuppression(
+    variables = model.init(jax.random.key(0))
+    infer = builder.get_model_for_inference(
+        model_trained=variables,
         max_number_of_boxes_per_class=nms_cfg.max_boxes_per_class,
         max_number_of_boxes_per_sample=nms_cfg.max_boxes_per_sample,
         boxes_iou_threshold=nms_cfg.iou_threshold,
         labels_probability_threshold=nms_cfg.score_threshold,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+        compute_dtype="bfloat16",
+        fused_backbone=True,
     )
-    seg_suppression = SegmentationSuppression(num_classes=4)
-
-    @jax.jit
-    def infer(variables, images):
-        out = module.apply(
-            variables, images.astype(jnp.bfloat16), train=False
-        )
-        mask = out["output-mask"].astype(jnp.float32)
-        labels = seg_suppression(mask, out["output-labels"].astype(jnp.float32))
-        detections = nms(
-            decode(out["output-boxes"].astype(jnp.float32)), labels
-        )
-        return mask, detections
 
     # distinct input batches (defeats any identical-launch caching)
     base = np.random.default_rng(0).uniform(
@@ -82,14 +72,14 @@ def main() -> None:
     jax.block_until_ready(inputs)
 
     # warmup / compile
-    out = infer(variables, inputs[0])
+    out = infer(inputs[0])
     jax.block_until_ready(out)
 
     steps = 32
     t0 = time.perf_counter()
     outs = []
     for i in range(steps):
-        outs.append(infer(variables, inputs[i % len(inputs)]))
+        outs.append(infer(inputs[i % len(inputs)]))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 

@@ -35,6 +35,60 @@ from ssdseglib_tpu.models.mobilenetv2 import MobileNetV2Backbone
 from ssdseglib_tpu.models.shufflenetv2 import STAGE_CHANNELS, ShuffleNetV2Backbone
 
 
+def _backbone_head_config(cfg: ModelConfig):
+    """Per-backbone head wiring: relu cap + extra pyramid block specs."""
+    if cfg.backbone == "mobilenetv2":
+        return 6.0, ((320, "backbone-block17"), (360, "backbone-block18"))
+    if cfg.backbone == "shufflenetv2":
+        c4 = STAGE_CHANNELS[cfg.shufflenet_size][4]
+        return 0.0, ((c4, "backbone-stage5-block1"), (c4, "backbone-stage5-block2"))
+    raise ValueError(f"unknown backbone {cfg.backbone!r}")
+
+
+def _apply_heads(cfg: ModelConfig, fm1, fm2, skip, train: bool):
+    """Head wiring shared by SsdSegModel and SsdSegHeads.
+
+    Runs inside the caller's compact scope; every module name is explicit,
+    so both callers produce identical parameter paths.
+    """
+    relu_max, extra = _backbone_head_config(cfg)
+
+    # two extra stride-2 feature maps for the detection pyramid
+    # (reference models.py:232-244 / :669-679)
+    fm3 = SepConvBN(
+        extra[0][0], kernel_size=3, strides=2, relu_max=relu_max,
+        name=extra[0][1],
+    )(fm2, train)
+    fm4 = SepConvBN(
+        extra[1][0], kernel_size=3, strides=2, relu_max=relu_max,
+        name=extra[1][1],
+    )(fm3, train)
+
+    mask_encoder = DeepLabV3PlusEncoder(
+        filters=256,
+        dilation_rates=cfg.segmentation_dilation_rates,
+        relu_max=relu_max,
+        name="mask-encoder",
+    )(fm1, train)
+    mask = DeepLabV3PlusDecoder(
+        filters_backbone=48,
+        filters_decoder=256,
+        output_height_width=cfg.input_image_shape[:2],
+        output_channels=cfg.number_of_classes,
+        relu_max=relu_max,
+        name="mask-decoder",
+    )(mask_encoder, skip, train)
+
+    labels, boxes = SsdLiteHeads(
+        boxes_per_point=cfg.boxes_per_point,
+        number_of_classes=cfg.number_of_classes,
+        relu_max=relu_max,
+        name="heads",
+    )([fm1, fm2, fm3, fm4], train)
+
+    return {"output-mask": mask, "output-labels": labels, "output-boxes": boxes}
+
+
 class SsdSegModel(nn.Module):
     """Backbone + DeepLabV3+ mask head + SSDLite detection heads.
 
@@ -60,8 +114,6 @@ class SsdSegModel(nn.Module):
             fm1 = taps["backbone-block13-expand-relu6"]  # os16
             fm2 = taps["backbone-block16-project-batchnorm"]  # os32
             skip = taps["backbone-block3-expand-relu6"]  # os4
-            relu_max = 6.0
-            extra = ((320, "backbone-block17"), (360, "backbone-block18"))
         elif cfg.backbone == "shufflenetv2":
             _, taps = ShuffleNetV2Backbone(
                 model_size=cfg.shufflenet_size,
@@ -72,46 +124,26 @@ class SsdSegModel(nn.Module):
             fm1 = taps["backbone-stage3-block7"]  # os16
             fm2 = taps["backbone-stage4-block3"]  # os32
             skip = taps["backbone-stage2-block3"]  # os8
-            relu_max = 0.0  # plain ReLU on the shufflenet path
-            c4 = STAGE_CHANNELS[cfg.shufflenet_size][4]
-            extra = ((c4, "backbone-stage5-block1"), (c4, "backbone-stage5-block2"))
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
 
-        # two extra stride-2 feature maps for the detection pyramid
-        # (reference models.py:232-244 / :669-679)
-        fm3 = SepConvBN(
-            extra[0][0], kernel_size=3, strides=2, relu_max=relu_max,
-            name=extra[0][1],
-        )(fm2, train)
-        fm4 = SepConvBN(
-            extra[1][0], kernel_size=3, strides=2, relu_max=relu_max,
-            name=extra[1][1],
-        )(fm3, train)
+        return _apply_heads(cfg, fm1, fm2, skip, train)
 
-        mask_encoder = DeepLabV3PlusEncoder(
-            filters=256,
-            dilation_rates=cfg.segmentation_dilation_rates,
-            relu_max=relu_max,
-            name="mask-encoder",
-        )(fm1, train)
-        mask = DeepLabV3PlusDecoder(
-            filters_backbone=48,
-            filters_decoder=256,
-            output_height_width=cfg.input_image_shape[:2],
-            output_channels=cfg.number_of_classes,
-            relu_max=relu_max,
-            name="mask-decoder",
-        )(mask_encoder, skip, train)
 
-        labels, boxes = SsdLiteHeads(
-            boxes_per_point=cfg.boxes_per_point,
-            number_of_classes=cfg.number_of_classes,
-            relu_max=relu_max,
-            name="heads",
-        )([fm1, fm2, fm3, fm4], train)
+class SsdSegHeads(nn.Module):
+    """Heads-only module for fused-backbone inference.
 
-        return {"output-mask": mask, "output-labels": labels, "output-boxes": boxes}
+    Consumes the three backbone feature taps; its parameter paths are
+    identical to the corresponding top-level entries of SsdSegModel
+    (backbone-block17/18 or stage5 blocks, mask-encoder, mask-decoder,
+    heads), so the full model's variables slice straight in.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, fm1, fm2, skip, train: bool = False):
+        return _apply_heads(self.cfg, fm1, fm2, skip, train)
 
 
 def count_parameters(variables) -> Tuple[int, int]:
@@ -171,6 +203,7 @@ class InferenceModel:
         suppress_background_boxes: bool,
         compute_dtype: str = "float32",
         mesh=None,
+        fused_backbone: bool = False,
     ) -> None:
         """compute_dtype: 'bfloat16' selects the serving fast path — params
         and conv compute in bf16 on the MXU (+~25% throughput on v5e, mask
@@ -180,17 +213,25 @@ class InferenceModel:
         mesh: optional `jax.sharding.Mesh` — inference batches are sharded
         over the mesh's data axis with replicated params (multi-chip
         batch-parallel serving; XLA handles the one cross-chip reduction in
-        the batch-global segmentation suppression)."""
+        the batch-global segmentation suppression).
+
+        fused_backbone: run the MobileNetV2 backbone through the fused
+        Pallas MBConv path (BN folded, expanded tensors VMEM-resident —
+        models/fused_inference.py)."""
         self.module = module
+        variables_f32 = variables  # keep full precision for BN folding
         self.variables = variables
         self._suppress_background = suppress_background_boxes
         self._compute_dtype = jnp.dtype(compute_dtype)
         self.mesh = mesh
         if self._compute_dtype != jnp.float32:
-            variables = jax.tree_util.tree_map(
+            self.variables = jax.tree_util.tree_map(
                 lambda a: a.astype(self._compute_dtype), variables
             )
-            self.variables = variables
+        # pin params on device once — host-resident (numpy) variables would
+        # otherwise re-upload through the host link on every call
+        if mesh is None:
+            self.variables = jax.device_put(self.variables)
         if mesh is not None:
             from ssdseglib_tpu.parallel import mesh as mesh_lib
 
@@ -211,10 +252,22 @@ class InferenceModel:
 
         compute_dtype = self._compute_dtype
 
-        def forward(variables, images):
-            out = module.apply(
-                variables, images.astype(compute_dtype), train=False
+        fused_forward = None
+        if fused_backbone:
+            from ssdseglib_tpu.models.fused_inference import make_fused_forward
+
+            # fold BN from the f32 variables, then cast to the compute dtype
+            fused_forward = make_fused_forward(
+                module.cfg, variables_f32, compute_dtype=self._compute_dtype
             )
+
+        def forward(variables, images):
+            if fused_forward is not None:
+                out = fused_forward(images)
+            else:
+                out = module.apply(
+                    variables, images.astype(compute_dtype), train=False
+                )
             mask = out["output-mask"].astype(jnp.float32)
             labels = out["output-labels"].astype(jnp.float32)
             if use_segmentation_suppression:
@@ -308,12 +361,14 @@ class _BuilderBase:
         use_segmentation_suppression: bool,
         compute_dtype: str = "float32",
         mesh=None,
+        fused_backbone: bool = False,
     ) -> InferenceModel:
         """Args:
             model_trained: the trained variables pytree (params +
                 batch_stats), or a (TrainableModel, variables) tuple.
             compute_dtype: 'bfloat16' for the MXU serving fast path.
             mesh: optional Mesh for multi-chip batch-parallel serving.
+            fused_backbone: fused Pallas MBConv backbone (mobilenetv2).
         """
         if isinstance(model_trained, tuple):
             trainable, variables = model_trained
@@ -344,6 +399,7 @@ class _BuilderBase:
             suppress_background_boxes=suppress_background_boxes,
             compute_dtype=compute_dtype,
             mesh=mesh,
+            fused_backbone=fused_backbone,
         )
 
 
