@@ -32,6 +32,12 @@ from ssdseglib_tpu import models
 from ssdseglib_tpu import ops
 from ssdseglib_tpu import plot
 
+# TPU-native additions beyond the reference surface (lazy-import heavy ones)
+from ssdseglib_tpu import checkpoint
+from ssdseglib_tpu import keras_import
+from ssdseglib_tpu import parallel
+from ssdseglib_tpu import train
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -46,5 +52,9 @@ __all__ = [
     "models",
     "ops",
     "plot",
+    "checkpoint",
+    "keras_import",
+    "parallel",
+    "train",
     "__version__",
 ]
