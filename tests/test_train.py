@@ -175,3 +175,25 @@ def test_params_npz_roundtrip(tmp_path, trainer):
         jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(variables)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shufflenet_train_step(anchors, loader):
+    """Gradients flow through channel shuffle/split: one step, finite loss."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        MODEL_CFG,
+        backbone="shufflenetv2",
+        shufflenet_size="0.5x",
+        shufflenet_extra_depthwise=True,
+        shufflenet_residuals=True,
+    )
+    model = TrainableModel(module=SsdSegModel(cfg=cfg), cfg=cfg)
+    sh_trainer = Trainer(model=model, anchors=anchors, config=TRAIN_CFG)
+    state = sh_trainer.init_state(jax.random.key(0))
+    step = sh_trainer.train_step_fn()
+    images, targets = next(iter(loader))
+    state, m1 = step(state, images, targets)
+    state, m2 = step(state, images, targets)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
