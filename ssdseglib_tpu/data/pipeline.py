@@ -32,7 +32,7 @@ from ssdseglib_tpu.data.synthetic import SyntheticSample
 from ssdseglib_tpu.datacoder import (
     decode_png_mask,
     decode_png_rgb,
-    make_train_batch_processor,
+    make_train_batch_transform,
     pad_ground_truth,
     read_labels_boxes_csv,
 )
@@ -190,18 +190,36 @@ class TrainDataLoader:
             num_workers=num_workers,
             image_shape=encoding.image_shape,
         )
-        self.process = make_train_batch_processor(
+        # the pure transform; Trainer.fit inlines it into the train step
+        # (one executable per step), __iter__ uses the jitted standalone
+        self.transform = make_train_batch_transform(
             anchors,
             encoding,
             augmentation_horizontal_flip=augmentation_horizontal_flip,
             augmentation_rgb=augmentation_rgb,
         )
+        self.process = jax.jit(self.transform)
         self._key = jax.random.key(seed)
 
     def __len__(self) -> int:
         return len(self.batcher)
 
     def __iter__(self):
-        for images, masks, gl, gb, gv in self.batcher:
+        for batch in self.batcher:
+            # explicit async device_put: implicit numpy->device conversion
+            # inside jit dispatch is dramatically slower on remote-attached
+            # TPUs (per-argument synchronous round trips)
+            batch = jax.device_put(batch)
             self._key, sub = jax.random.split(self._key)
-            yield self.process(sub, images, masks, gl, gb, gv)
+            yield self.process(sub, *batch)
+
+    def iter_raw(self):
+        """Yield (key, (images_u8, masks_u8, gt_labels, gt_boxes, gt_valid))
+        with the batch still on HOST, for transform-fused train steps (same
+        key stream as __iter__).  The consumer controls when the transfer
+        happens: on remote-attached TPUs a device_put interleaved with
+        queued compute serializes catastrophically, so Trainer.fit stages
+        uploads in chunks while the device queue is drained."""
+        for batch in self.batcher:
+            self._key, sub = jax.random.split(self._key)
+            yield sub, tuple(batch)

@@ -116,18 +116,23 @@ def flip_boxes_horizontal(
     )
 
 
-def make_train_batch_processor(
+def make_train_batch_transform(
     anchors: Anchors,
     cfg: EncodingConfig,
     augmentation_horizontal_flip: bool = False,
     augmentation_rgb: bool = False,
 ):
-    """Build the jitted device-side batch transform.
+    """Build the (pure, unjitted) device-side batch transform.
 
-    Returns ``fn(key, images_u8, masks_u8, gt_labels, gt_boxes, gt_valid)``
+    ``fn(key, images_u8, masks_u8, gt_labels, gt_boxes, gt_valid)``
     -> ``(images_f32, {'output-mask', 'output-labels', 'output-boxes'})``
     where images are (B, H, W, 3) uint8, masks (B, H, W) uint8 class maps
     and the ground truth is padded per `pad_ground_truth`.
+
+    Returned unjitted so callers can inline it into a larger jit program —
+    fusing it into the train step (train.Trainer) runs transform + step as
+    ONE executable, which matters on remote-attached TPUs where every
+    dispatch carries fixed host-link overhead.
     """
     anchors_corners = jnp.asarray(anchors.corners)
     image_width = float(cfg.image_shape[1])
@@ -138,7 +143,6 @@ def make_train_batch_processor(
         standard_deviations=cfg.standard_deviations,
     )
 
-    @jax.jit
     def process(key, images_u8, masks_u8, gt_labels, gt_boxes, gt_valid):
         b = images_u8.shape[0]
         images = images_u8.astype(jnp.float32)
@@ -174,6 +178,20 @@ def make_train_batch_processor(
         }
 
     return process
+
+
+def make_train_batch_processor(
+    anchors: Anchors,
+    cfg: EncodingConfig,
+    augmentation_horizontal_flip: bool = False,
+    augmentation_rgb: bool = False,
+):
+    """Jitted standalone version of `make_train_batch_transform`."""
+    return jax.jit(
+        make_train_batch_transform(
+            anchors, cfg, augmentation_horizontal_flip, augmentation_rgb
+        )
+    )
 
 
 class DataEncoderDecoder:
