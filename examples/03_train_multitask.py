@@ -47,11 +47,16 @@ def main() -> None:
                         help="dataset JSON (list of path triples)")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training + bf16 fused serving")
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
     args = parser.parse_args()
 
     anchors_cfg, enc_cfg, model_cfg, nms_cfg, _ = reference_warehouse_config()
     train_cfg = TrainConfig(
-        batch_size=args.batch_size, epochs=args.epochs, seed=1993
+        batch_size=args.batch_size, epochs=args.epochs, seed=1993,
+        learning_rate=args.learning_rate,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
 
@@ -119,6 +124,8 @@ def main() -> None:
         labels_probability_threshold=nms_cfg.score_threshold,
         suppress_background_boxes=False,
         use_segmentation_suppression=True,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        fused_backbone=args.bf16,
     )
 
     # evaluation (reference notebook 03 cells 25-29)
