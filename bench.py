@@ -58,8 +58,8 @@ def main() -> None:
         max_number_of_boxes_per_sample=nms_cfg.max_boxes_per_sample,
         boxes_iou_threshold=nms_cfg.iou_threshold,
         labels_probability_threshold=nms_cfg.score_threshold,
-        suppress_background_boxes=False,
-        use_segmentation_suppression=True,
+        suppress_background_boxes=nms_cfg.suppress_background_boxes,
+        use_segmentation_suppression=nms_cfg.use_segmentation_suppression,
         compute_dtype="bfloat16",
         fused_backbone=True,
     )
@@ -75,15 +75,21 @@ def main() -> None:
     out = infer(inputs[0])
     jax.block_until_ready(out)
 
+    # median of repeated timed rounds: a single round is vulnerable to
+    # one-off relay anomalies (a fresh-compile round once measured 34x too
+    # fast when the ready-fence returned early)
     steps = 32
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(steps):
-        outs.append(infer(inputs[i % len(inputs)]))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(steps):
+            outs.append(infer(inputs[i % len(inputs)]))
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        rates.append(steps * batch / dt)
 
-    images_per_second = steps * batch / dt
+    images_per_second = sorted(rates)[len(rates) // 2]
     print(
         json.dumps(
             {

@@ -102,7 +102,10 @@ def main() -> None:
         object_detection_architecture="ssdlite",
         segmentation_dilation_rates=model_cfg.segmentation_dilation_rates,
     )
-    trainer = Trainer(model=model, anchors=anchors, config=train_cfg)
+    trainer = Trainer(
+        model=model, anchors=anchors, config=train_cfg,
+        standard_deviations=enc_cfg.standard_deviations,
+    )
 
     mesh = mesh_lib.make_mesh() if args.data_parallel else None
     state = trainer.init_state(jax.random.key(train_cfg.seed), mesh=mesh)
@@ -122,8 +125,8 @@ def main() -> None:
         max_number_of_boxes_per_sample=nms_cfg.max_boxes_per_sample,
         boxes_iou_threshold=nms_cfg.iou_threshold,
         labels_probability_threshold=nms_cfg.score_threshold,
-        suppress_background_boxes=False,
-        use_segmentation_suppression=True,
+        suppress_background_boxes=nms_cfg.suppress_background_boxes,
+        use_segmentation_suppression=nms_cfg.use_segmentation_suppression,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         fused_backbone=args.bf16,
     )

@@ -75,11 +75,14 @@ class NmsConfig:
     iou_threshold: float = 0.025
     score_threshold: float = 0.725
     suppress_background_boxes: bool = False
+    # wired through to the inference builder by callers (bench.py,
+    # examples/03) — single source of truth for the cross-task gating switch
     use_segmentation_suppression: bool = True
-    # candidates per class entering the greedy suppression loop; the TF kernel
-    # scans every candidate above score_threshold, a top-k prefilter of this
-    # size is exact for any realistic score distribution and keeps the
-    # suppression loop O(k^2) with static shapes
+    # Only used by the alternative method="topk" NMS formulation: candidates
+    # per class entering the K-step suppression scan.  That path TRUNCATES
+    # to the top K scores and diverges from TF when more than K candidates
+    # clear score_threshold.  The default method="exact" iterative-argmax
+    # path considers every candidate and has no such bound.
     max_candidates_per_class: int = 256
 
 

@@ -37,13 +37,26 @@ def _build_library() -> None:
     )
 
 
+def _needs_build() -> bool:
+    """True when the .so is absent or older than its sources (so edits to
+    dataloader.cpp take effect instead of silently loading a stale binary)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("dataloader.cpp", "Makefile"):
+        path = os.path.join(_NATIVE_DIR, src)
+        if os.path.exists(path) and os.path.getmtime(path) > lib_mtime:
+            return True
+    return False
+
+
 def get_library() -> ctypes.CDLL:
     """Load (building if needed) the native library, configure signatures."""
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _needs_build():
             _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
 

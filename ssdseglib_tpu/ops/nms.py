@@ -3,15 +3,26 @@
 TPU replacement for `tf.image.combined_non_max_suppression` (invoked by the
 reference at ssdseglib/layers.py:141-149).  TF's kernel is a host/CUDA loop
 with dynamic shapes; this version is fully static-shape jnp so it jits into
-the same program as the model forward pass:
+the same program as the model forward pass.
 
-1. per class: `lax.top_k` prefilter to K candidates (exact for any realistic
-   score distribution; K is configurable), score threshold (strict >)
-2. greedy suppression as a `lax.fori_loop` over the K sorted candidates with
-   an O(K^2) IoU matrix — selected boxes suppress later candidates with
-   IoU > iou_threshold; selection stops at `max_boxes_per_class`
-3. across classes: class-major concatenation, stable top-`max_total` by score
-   (mirrors TF's concat-then-top_k combine step, including tie order)
+Default ("exact") formulation — iterative argmax, exact over ALL N anchors:
+
+1. per class: `max_boxes_per_class` rounds of [argmax score over every
+   not-yet-suppressed candidate above the score threshold (strict >), then
+   suppress all candidates with IoU > iou_threshold against the selection].
+   This is greedy NMS restated: the highest-scoring unsuppressed candidate
+   is always the next greedy pick, so M tiny rounds of O(N) vector work
+   replace a scan over all candidates — no top-K prefilter, no O(K^2) IoU
+   matrix, exact for any score distribution at any anchor count.
+2. across classes: class-major concatenation, stable top-`max_total` by
+   score (mirrors TF's concat-then-top_k combine step, including tie order).
+
+An alternative top-K-prefilter formulation (`lax.top_k` to
+`max_candidates_per_class` candidates + a K-step suppression scan, with a
+Pallas TPU kernel for the scan) is kept for workloads where
+`max_boxes_per_class` is large enough that M sequential argmax rounds lose
+to one K-step scan; it is exact only while <= K candidates clear the score
+threshold.  Select it with ``method="topk"``.
 
 IoU here uses the plain (no +1) convention with corner canonicalization,
 matching TF NMS — the reference pipeline is +1 everywhere *except* inside
@@ -92,12 +103,85 @@ def _greedy_select(
 
 
 def _use_pallas_default() -> bool:
-    """Pallas TPU lowering for the greedy scan on TPU backends; the XLA
-    fori_loop elsewhere (CPU tests, non-TPU platforms)."""
+    """Pallas TPU lowering for the greedy scan on TPU backends only; the XLA
+    fori_loop elsewhere (CPU tests, GPU — Mosaic TPU kernels do not lower on
+    other accelerators)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _exact_greedy_nms(
+    boxes_yx: jnp.ndarray,
+    scores_cn: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float,
+    max_keep: int,
+):
+    """Iterative-argmax greedy NMS, exact over all N candidates.
+
+    Args:
+        boxes_yx: (B, N, 4) corners shared across classes
+        scores_cn: (B, C, N) per-class scores
+    Returns:
+        sel_idx: (B, C, M) selected candidate indices (class-local rounds)
+        sel_scores: (B, C, M) selected scores, -inf where no selection
+    """
+    N = scores_cn.shape[-1]
+    ymin = jnp.minimum(boxes_yx[..., 0], boxes_yx[..., 2])  # (B, N)
+    xmin = jnp.minimum(boxes_yx[..., 1], boxes_yx[..., 3])
+    ymax = jnp.maximum(boxes_yx[..., 0], boxes_yx[..., 2])
+    xmax = jnp.maximum(boxes_yx[..., 1], boxes_yx[..., 3])
+    area = (ymax - ymin) * (xmax - xmin)  # (B, N)
+
+    avail0 = scores_cn > score_threshold  # (B, C, N)
+
+    def gather_bc(values_bn: jnp.ndarray, idx_bc: jnp.ndarray) -> jnp.ndarray:
+        # (B, N) gathered at (B, C) -> (B, C)
+        return jnp.take_along_axis(
+            values_bn[:, None, :], idx_bc[..., None], axis=-1
+        )[..., 0]
+
+    def step(avail, _):
+        masked = jnp.where(avail, scores_cn, -jnp.inf)
+        idx = jnp.argmax(masked, axis=-1)  # (B, C), first index on ties
+        sel_score = jnp.take_along_axis(masked, idx[..., None], axis=-1)[..., 0]
+        found = jnp.isfinite(sel_score)  # any candidate left this round?
+
+        sy0 = gather_bc(ymin, idx)
+        sx0 = gather_bc(xmin, idx)
+        sy1 = gather_bc(ymax, idx)
+        sx1 = gather_bc(xmax, idx)
+        sarea = gather_bc(area, idx)
+        inter_h = jnp.maximum(
+            0.0,
+            jnp.minimum(sy1[..., None], ymax[:, None, :])
+            - jnp.maximum(sy0[..., None], ymin[:, None, :]),
+        )
+        inter_w = jnp.maximum(
+            0.0,
+            jnp.minimum(sx1[..., None], xmax[:, None, :])
+            - jnp.maximum(sx0[..., None], xmin[:, None, :]),
+        )
+        inter = inter_h * inter_w  # (B, C, N)
+        union = sarea[..., None] + area[:, None, :] - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+
+        removed = (iou > iou_threshold) | (
+            jnp.arange(N)[None, None, :] == idx[..., None]
+        )
+        new_avail = avail & ~(found[..., None] & removed)
+        return new_avail, (idx, sel_score)
+
+    _, (sel_idx, sel_scores) = jax.lax.scan(
+        step, avail0, None, length=max_keep
+    )
+    # scan stacks on the leading axis: (M, B, C) -> (B, C, M)
+    return (
+        jnp.moveaxis(sel_idx, 0, -1),
+        jnp.moveaxis(sel_scores, 0, -1),
+    )
 
 
 def combined_nms(
@@ -105,6 +189,7 @@ def combined_nms(
     scores: jnp.ndarray,
     cfg: NmsConfig,
     use_pallas: bool = None,
+    method: str = "exact",
 ) -> Dict[str, jnp.ndarray]:
     """Combined per-class NMS with shared boxes.
 
@@ -115,6 +200,9 @@ def combined_nms(
         scores: (B, N, C) per-class probabilities (class 0 = background is
             NOT special-cased here — the reference runs NMS over all classes
             and filters afterwards, layers.py:151-152)
+        method: "exact" (default, iterative argmax over all N candidates) or
+            "topk" (top-K prefilter + suppression scan; `use_pallas` selects
+            the Pallas TPU kernel for the scan, default by backend)
     Returns:
         dict with
             boxes: (B, T, 4) kept boxes, (ymin, xmin, ymax, xmax), zero padded
@@ -124,37 +212,56 @@ def combined_nms(
         where T = cfg.max_boxes_per_sample.
     """
     B, N, C = scores.shape
-    K = min(cfg.max_candidates_per_class, N)
     T = cfg.max_boxes_per_sample
-
-    # per-class top-K candidates, sorted descending (ties -> lower index)
     scores_cn = jnp.swapaxes(scores, 1, 2)  # (B, C, N)
-    cand_scores, cand_idx = jax.lax.top_k(scores_cn, K)  # (B, C, K)
-    cand_boxes = jnp.take_along_axis(
-        boxes_yx[:, None, :, :], cand_idx[..., None], axis=2
-    )  # (B, C, K, 4)
-    cand_valid = cand_scores > cfg.score_threshold
 
-    iou = _pairwise_iou_yx(cand_boxes)  # (B, C, K, K)
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-    if use_pallas:
-        from ssdseglib_tpu.ops.nms_pallas import greedy_select_pallas
-
-        keep = greedy_select_pallas(
-            iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+    if method == "exact":
+        M = cfg.max_boxes_per_class
+        sel_idx, sel_scores = _exact_greedy_nms(
+            boxes_yx,
+            scores_cn,
+            cfg.iou_threshold,
+            cfg.score_threshold,
+            M,
         )
+        flat_scores = sel_scores.reshape(B, C * M)
+        flat_boxes = jnp.take_along_axis(
+            boxes_yx[:, None, :, :], sel_idx[..., None], axis=2
+        ).reshape(B, C * M, 4)
+        flat_classes = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.float32)[None, :, None], (B, C, M)
+        ).reshape(B, C * M)
+    elif method == "topk":
+        K = min(cfg.max_candidates_per_class, N)
+        # per-class top-K candidates, sorted descending (ties -> lower index)
+        cand_scores, cand_idx = jax.lax.top_k(scores_cn, K)  # (B, C, K)
+        cand_boxes = jnp.take_along_axis(
+            boxes_yx[:, None, :, :], cand_idx[..., None], axis=2
+        )  # (B, C, K, 4)
+        cand_valid = cand_scores > cfg.score_threshold
+
+        iou = _pairwise_iou_yx(cand_boxes)  # (B, C, K, K)
+        if use_pallas is None:
+            use_pallas = _use_pallas_default()
+        if use_pallas:
+            from ssdseglib_tpu.ops.nms_pallas import greedy_select_pallas
+
+            keep = greedy_select_pallas(
+                iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+            )
+        else:
+            keep = _greedy_select(
+                iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+            )
+
+        # combine across classes: class-major flatten, stable top-T by score
+        flat_scores = jnp.where(keep, cand_scores, -jnp.inf).reshape(B, C * K)
+        flat_boxes = cand_boxes.reshape(B, C * K, 4)
+        flat_classes = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.float32)[None, :, None], (B, C, K)
+        ).reshape(B, C * K)
     else:
-        keep = _greedy_select(
-            iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
-        )
-
-    # combine across classes: class-major flatten, stable top-T by score
-    flat_scores = jnp.where(keep, cand_scores, -jnp.inf).reshape(B, C * K)
-    flat_boxes = cand_boxes.reshape(B, C * K, 4)
-    flat_classes = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.float32)[None, :, None], (B, C, K)
-    ).reshape(B, C * K)
+        raise ValueError(f"unknown NMS method {method!r}")
 
     order = jnp.argsort(-flat_scores, axis=-1, stable=True)[:, :T]  # (B, T)
     top_scores = jnp.take_along_axis(flat_scores, order, axis=-1)

@@ -16,6 +16,7 @@ stack:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -62,6 +63,10 @@ class Trainer:
     model: TrainableModel
     anchors: Anchors
     config: TrainConfig
+    # encoding standard deviations used by the decoded-box IoU metric
+    # (reference notebook 03 cell 2 STANDARD_DEVIATIONS_CENTROIDS_OFFSETS);
+    # must match the EncodingConfig the data pipeline encodes with
+    standard_deviations: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
 
     def __post_init__(self):
         cfg = self.config
@@ -80,7 +85,7 @@ class Trainer:
             list(cfg.mask_class_weights)
         )
         self._box_iou = metrics_lib.jaccard_iou_bounding_boxes(
-            self.anchors, (0.1, 0.1, 0.2, 0.2)
+            self.anchors, tuple(self.standard_deviations)
         )
         self._cat_acc = metrics_lib.categorical_accuracy(det_weights)
 
@@ -177,7 +182,9 @@ class Trainer:
             total, metrics = self._losses_and_metrics(outputs, targets)
             return total, (new_stats, metrics)
 
-        @jax.jit
+        # donate the state: params/opt-state buffers are reused in place for
+        # the updated state (no-op on CPU backends, which warn and copy)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, targets):
             grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, images, targets
@@ -216,23 +223,26 @@ class Trainer:
     # wall-clock than two dispatches (docs/PERFORMANCE.md).
 
     def fused_train_step_fn(self, transform: Callable) -> Callable:
-        key = id(transform)
+        # the cache holds a strong reference to the transform so its id()
+        # stays valid for the lifetime of the cached entry (a freed id can
+        # be reused by CPython and would alias a different transform)
+        key = ("train", id(transform))
         if key in self._fused_steps:
-            return self._fused_steps[key]
+            return self._fused_steps[key][1]
         inner = self.train_step_fn()
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def fused(state: TrainState, rng, *raw_batch):
             images, targets = transform(rng, *raw_batch)
             return inner.__wrapped__(state, images, targets)
 
-        self._fused_steps[key] = fused
+        self._fused_steps[key] = (transform, fused)
         return fused
 
     def fused_eval_step_fn(self, transform: Callable) -> Callable:
         key = ("eval", id(transform))
         if key in self._fused_steps:
-            return self._fused_steps[key]
+            return self._fused_steps[key][1]
         inner = self.eval_step_fn()
 
         @jax.jit
@@ -240,7 +250,7 @@ class Trainer:
             images, targets = transform(rng, *raw_batch)
             return inner.__wrapped__(state, images, targets)
 
-        self._fused_steps[key] = fused
+        self._fused_steps[key] = (transform, fused)
         return fused
 
     # -- loop -------------------------------------------------------------

@@ -90,6 +90,69 @@ def test_activation_parity_with_keras(reference_model, flax_setup):
     )
 
 
+def _write_tf213_keras_zip(path, weights_by_layer):
+    """Package {layer: [arrays]} into the TF-2.13 `.keras` zip layout the
+    reference checkpoint was saved with (reference notebook 03 cell 17):
+    a zip holding config.json / metadata.json / model.weights.h5, weights
+    keyed `_layer_checkpoint_dependencies/<layer>/vars/<i>`."""
+    import io
+    import json
+    import zipfile
+
+    import h5py
+
+    buf = io.BytesIO()
+    with h5py.File(buf, "w") as h5:
+        root = h5.create_group("_layer_checkpoint_dependencies")
+        for layer, arrays in weights_by_layer.items():
+            g = root.create_group(layer).create_group("vars")
+            for i, arr in enumerate(arrays):
+                g.create_dataset(str(i), data=np.asarray(arr))
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("metadata.json", json.dumps({"keras_version": "2.13.1"}))
+        zf.writestr("config.json", json.dumps({"class_name": "Functional"}))
+        zf.writestr("model.weights.h5", buf.getvalue())
+
+
+def test_keras_zip_file_import_parity(reference_model, flax_setup, tmp_path):
+    """The checkpoint-materializes scenario, pre-verified (VERDICT r1 item
+    5): pack the live reference model's weights into a TF-2.13-layout
+    `.keras` zip, read it back with `load_keras_file`, import, and demand
+    activation parity — exercising the zip/h5 reader end to end."""
+    from ssdseglib_tpu.keras_import import load_keras_file
+
+    cfg, module, template = flax_setup
+    weights = weights_by_layer_from_keras_model(reference_model)
+    path = str(tmp_path / "mobilenetv2-deeplabv3plus-ssdlite.keras")
+    _write_tf213_keras_zip(path, weights)
+
+    loaded = load_keras_file(path)
+    assert set(loaded) == set(weights)
+    for name in weights:
+        assert len(loaded[name]) == len(weights[name]), name
+        for a, b in zip(loaded[name], weights[name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    variables = import_keras_weights(loaded, cfg)
+    validate_against_template(variables, template)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, (1,) + INPUT_SHAPE).astype(np.float32)
+    ref_mask, ref_labels, ref_boxes = [
+        np.asarray(o) for o in reference_model(x, training=False)
+    ]
+    ours = module.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours["output-mask"]), ref_mask, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output-labels"]), ref_labels, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output-boxes"]), ref_boxes, rtol=1e-3, atol=1e-3
+    )
+
+
 def test_export_roundtrip(reference_model, flax_setup):
     """import -> export -> import is the identity on every weight."""
     from ssdseglib_tpu.keras_import import export_keras_weights

@@ -60,12 +60,13 @@ def _assert_same_detections(ours, tf_out, cfg):
         assert our_rows == ref_rows, f"sample {i}:\n{our_rows}\nvs\n{ref_rows}"
 
 
+@pytest.mark.parametrize("method", ["exact", "topk"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize(
     "iou_thr,score_thr",
     [(0.5, 0.3), (0.025, 0.725), (0.9, 0.05), (0.3, 0.6)],
 )
-def test_combined_nms_parity(seed, iou_thr, score_thr):
+def test_combined_nms_parity(seed, iou_thr, score_thr, method):
     rng = np.random.default_rng(seed)
     boxes_yx, scores = _random_detections(rng)
     cfg = NmsConfig(
@@ -75,12 +76,13 @@ def test_combined_nms_parity(seed, iou_thr, score_thr):
         score_threshold=score_thr,
         max_candidates_per_class=128,
     )
-    ours = combined_nms(boxes_yx, scores, cfg)
+    ours = combined_nms(boxes_yx, scores, cfg, method=method)
     tf_out = _tf_combined_nms(boxes_yx, scores, cfg)
     _assert_same_detections(ours, tf_out, cfg)
 
 
-def test_combined_nms_dense_overlaps():
+@pytest.mark.parametrize("method", ["exact", "topk"])
+def test_combined_nms_dense_overlaps(method):
     """Heavily overlapping boxes exercise the greedy suppression chain."""
     rng = np.random.default_rng(42)
     boxes_yx, scores = _random_detections(rng, batch=2, n=256, spread=30.0)
@@ -91,9 +93,61 @@ def test_combined_nms_dense_overlaps():
         score_threshold=0.4,
         max_candidates_per_class=256,
     )
-    ours = combined_nms(boxes_yx, scores, cfg)
+    ours = combined_nms(boxes_yx, scores, cfg, method=method)
     tf_out = _tf_combined_nms(boxes_yx, scores, cfg)
     _assert_same_detections(ours, tf_out, cfg)
+
+
+def test_combined_nms_production_scale_exact():
+    """Parity at the real anchor count (9600) with a score threshold low
+    enough that far more than `max_candidates_per_class` candidates per
+    class survive — the regime where the top-K prefilter may truncate but
+    the exact path must still match TF (VERDICT r1 item 7)."""
+    rng = np.random.default_rng(7)
+    boxes_yx, scores = _random_detections(rng, batch=2, n=9600, spread=600.0)
+    cfg = NmsConfig(
+        max_boxes_per_class=4,
+        max_boxes_per_sample=10,
+        iou_threshold=0.6,
+        score_threshold=0.05,  # ~thousands of survivors per class
+        max_candidates_per_class=256,
+    )
+    n_above = (scores > cfg.score_threshold).sum(axis=1).min()
+    assert n_above > cfg.max_candidates_per_class  # the regime under test
+    ours = combined_nms(boxes_yx, scores, cfg, method="exact")
+    tf_out = _tf_combined_nms(boxes_yx, scores, cfg)
+    _assert_same_detections(ours, tf_out, cfg)
+
+
+def test_combined_nms_exact_beyond_topk_window():
+    """Engineered case where the correct selection lies beyond any top-K
+    window: one dominant box suppresses a huge cluster of next-highest
+    boxes, and the true second pick is the lowest-scoring candidate."""
+    n = 600
+    # box 0: top score at origin.  boxes 1..n-2: overlap box 0 (suppressed).
+    # box n-1: far away, lowest score above threshold -> must be pick #2.
+    boxes = np.zeros((1, n, 4), np.float32)
+    boxes[0, :-1] = [0.0, 0.0, 10.0, 10.0]
+    boxes[0, 1:-1, :2] += np.linspace(0.01, 0.5, n - 2)[:, None]
+    boxes[0, 1:-1, 2:] += np.linspace(0.01, 0.5, n - 2)[:, None]
+    boxes[0, -1] = [100.0, 100.0, 110.0, 110.0]
+    scores = np.zeros((1, n, 2), np.float32)
+    scores[0, 0, 1] = 0.9
+    scores[0, 1:-1, 1] = np.linspace(0.8, 0.5, n - 2)
+    scores[0, -1, 1] = 0.3
+    cfg = NmsConfig(
+        max_boxes_per_class=4,
+        max_boxes_per_sample=10,
+        iou_threshold=0.5,
+        score_threshold=0.1,
+        max_candidates_per_class=256,
+    )
+    ours = combined_nms(boxes, scores, cfg, method="exact")
+    tf_out = _tf_combined_nms(boxes, scores, cfg)
+    _assert_same_detections(ours, tf_out, cfg)
+    # and the far box was indeed kept
+    assert int(ours["valid"][0]) == 2
+    assert float(np.asarray(ours["scores"])[0, 1]) == pytest.approx(0.3)
 
 
 def test_nms_layer_output_format():
