@@ -280,6 +280,12 @@ class Trainer:
             latest = checkpointer.latest_step()
             if latest is not None:
                 state = checkpointer.restore(jax.device_get(state))
+                if mesh is not None:
+                    # re-establish the replicated sharding: the restored
+                    # state is host arrays, and feeding them uncommitted into
+                    # a step with mesh-sharded batch inputs leaves placement
+                    # to the compiler
+                    state = mesh_lib.replicate(mesh, state)
                 log_fn(f"resumed from checkpoint step {latest}")
 
         # loaders exposing their pure transform (TrainDataLoader) get the
