@@ -1,0 +1,305 @@
+"""Long-horizon detection learning on synthetic scenes + NMS grid search.
+
+The reference's published detection result (mAP@0.5 = 0.53, notebook 03
+cell 29) took 23.7k steps at lr 1e-4 plus a post-training NMS operating-
+point grid search (cells 21-23).  This driver demonstrates the same
+capability end-to-end on the synthetic warehouse scenes: a long schedule,
+periodic mAP/mIoU evaluation, checkpointing, and the grid search — tuned
+for a remote-attached TPU by keeping the full (encoded-on-device) dataset
+resident in HBM so no per-step host transfer happens.
+
+Run:  python examples/04_detection_learning.py --steps 12000
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdseglib_tpu import evaluators
+from ssdseglib_tpu.boxes import Anchors
+from ssdseglib_tpu.checkpoint import Checkpointer
+from ssdseglib_tpu.config import (
+    NmsConfig,
+    TrainConfig,
+    reference_warehouse_config,
+)
+from ssdseglib_tpu.data.pipeline import TrainDataLoader
+from ssdseglib_tpu.data.synthetic import generate_dataset
+from ssdseglib_tpu.layers import NonMaximumSuppression
+from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
+from ssdseglib_tpu.train import Trainer
+from ssdseglib_tpu.utils.logging import MetricsLogger
+
+
+def evaluate(labels_pred, conf_pred, boxes_pred, masks_pred, gt, gt_masks):
+    """mAP@{.5,.6,.7} + mIoU with the reference-quirk evaluators."""
+    out = {}
+    for thr in (0.5, 0.6, 0.7):
+        ap = evaluators.average_precision_object_detection(
+            labels_pred, conf_pred, boxes_pred, thr, gt,
+            labels_codes=[0, 1, 2, 3], label_code_background=0,
+        )
+        out[f"mAP@{thr}"] = float(np.mean(list(ap.values())))
+        out[f"ap@{thr}"] = {k: float(v) for k, v in ap.items()}
+    iou = evaluators.jaccard_iou_semantic_segmentation(
+        masks_pred, gt_masks, labels_codes=[0, 1, 2, 3],
+        label_code_background=0,
+    )
+    out["mIoU"] = float(np.mean(list(iou.values())))
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=12000)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--train-scenes", type=int, default=256)
+    parser.add_argument("--eval-scenes", type=int, default=32)
+    parser.add_argument("--peak-lr", type=float, default=2.5e-4)
+    parser.add_argument("--warmup-steps", type=int, default=500)
+    parser.add_argument("--eval-every", type=int, default=2000)
+    parser.add_argument("--log-every", type=int, default=200)
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--log-file", type=str, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable mixed-precision training")
+    args = parser.parse_args()
+
+    anchors_cfg, enc_cfg, model_cfg, _, _ = reference_warehouse_config()
+    anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        learning_rate=args.peak_lr,
+        lr_schedule="warmup_cosine",
+        lr_warmup_steps=args.warmup_steps,
+        lr_total_steps=args.steps,
+        lr_final=args.peak_lr / 20,
+        seed=1993,
+        compute_dtype="float32" if args.f32 else "bfloat16",
+    )
+
+    train_scenes = generate_dataset(
+        args.train_scenes, image_shape=enc_cfg.image_shape, seed=1993
+    )
+    eval_scenes = generate_dataset(
+        args.eval_scenes, image_shape=enc_cfg.image_shape, seed=2024
+    )
+    loader = TrainDataLoader(
+        train_scenes, anchors, enc_cfg, batch_size=args.batch_size,
+        augmentation_horizontal_flip=True, augmentation_rgb=True,
+        shuffle=False, seed=train_cfg.seed,
+    )
+
+    # upload every raw batch to the device ONCE: augmentation + anchor
+    # matching run inside the fused train step, so steps touch the host
+    # only for the rng fold -- the remote-relay bandwidth wall
+    # (docs/PERFORMANCE.md) disappears
+    raw_batches = [
+        tuple(jax.device_put(jnp.asarray(a)) for a in batch)
+        for batch in loader.batcher
+    ]
+    jax.block_until_ready(raw_batches)
+    n_batches = len(raw_batches)
+    print(f"{n_batches} train batches resident on device", flush=True)
+
+    builder = MobileNetV2SsdSegBuilder(
+        input_image_shape=model_cfg.input_image_shape,
+        number_of_boxes_per_point=list(model_cfg.boxes_per_point),
+        number_of_classes=model_cfg.number_of_classes,
+        center_x_boxes_default=anchors.center_x,
+        center_y_boxes_default=anchors.center_y,
+        width_boxes_default=anchors.width,
+        height_boxes_default=anchors.height,
+        standard_deviations_centroids_offsets=enc_cfg.standard_deviations,
+    )
+    model = builder.get_model_for_training(
+        segmentation_dilation_rates=model_cfg.segmentation_dilation_rates
+    )
+    trainer = Trainer(
+        model=model, anchors=anchors, config=train_cfg,
+        standard_deviations=enc_cfg.standard_deviations,
+    )
+    state = trainer.init_state(jax.random.key(train_cfg.seed))
+    start_step = 0
+    ckpt = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+    if args.resume and ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(jax.device_get(state))
+        start_step = int(np.asarray(state.step))
+        print(f"resumed from step {start_step}", flush=True)
+
+    fused = trainer.fused_train_step_fn(loader.transform)
+    base_key = jax.random.key(7)
+
+    # one serving model for periodic eval; weights swapped in place
+    # (no recompile).  Monitoring NMS point is mid-grid; the final
+    # operating point comes from the grid search below.
+    monitor_nms = NmsConfig(
+        max_boxes_per_class=4, max_boxes_per_sample=10,
+        iou_threshold=0.2, score_threshold=0.5,
+    )
+    inference = builder.get_model_for_inference(
+        model_trained=jax.device_get(state.variables()),
+        max_number_of_boxes_per_class=monitor_nms.max_boxes_per_class,
+        max_number_of_boxes_per_sample=monitor_nms.max_boxes_per_sample,
+        boxes_iou_threshold=monitor_nms.iou_threshold,
+        labels_probability_threshold=monitor_nms.score_threshold,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+        compute_dtype=train_cfg.compute_dtype,
+        fused_backbone=False,
+    )
+
+    eval_loader = TrainDataLoader(
+        eval_scenes, anchors, enc_cfg, batch_size=args.batch_size,
+        shuffle=False,
+    )
+    eval_raw = list(eval_loader.batcher)
+    gt, gt_masks = [], []
+    for images, masks, gl, gb, gv in eval_raw:
+        for i in range(len(images)):
+            n = int(gv[i].sum())
+            gt.append((gl[i][:n], gb[i][:n]))
+            gt_masks.append(masks[i])
+
+    def run_eval(state):
+        inference.update_variables(jax.device_get(state.variables()))
+        masks_pred, dets = [], []
+        for images, *_ in eval_raw:
+            mask, det = inference.predict(images.astype(np.float32))
+            masks_pred.append(mask)
+            dets.append(det)
+        masks_pred = np.concatenate(masks_pred)
+        dets = np.concatenate(dets)
+        return evaluate(
+            dets[:, :, 0].astype(np.int32), dets[:, :, 1], dets[:, :, 2:],
+            masks_pred, gt, gt_masks,
+        )
+
+    logger = MetricsLogger(args.log_file) if args.log_file else None
+    agg, n_agg = {}, 0
+    t0 = time.perf_counter()
+    for step in range(start_step, args.steps):
+        rng = jax.random.fold_in(base_key, step)
+        state, metrics = fused(state, rng, *raw_batches[step % n_batches])
+        for k, v in metrics.items():
+            agg[k] = v if k not in agg else agg[k] + v
+        n_agg += 1
+
+        if (step + 1) % args.log_every == 0:
+            vals = {k: float(np.asarray(v)) / n_agg for k, v in agg.items()}
+            agg, n_agg = {}, 0
+            rate = args.log_every * args.batch_size / (
+                time.perf_counter() - t0
+            )
+            t0 = time.perf_counter()
+            print(
+                f"step {step + 1}: loss {vals['loss']:.4f} "
+                f"iou/mask {vals['iou/mask']:.3f} "
+                f"iou/boxes {vals['iou/boxes']:.3f} "
+                f"acc {vals['accuracy/labels']:.4f} ({rate:.0f} img/s)",
+                flush=True,
+            )
+            if not np.isfinite(vals["loss"]):
+                print("non-finite loss; stopping", flush=True)
+                break
+            if logger is not None:
+                logger.log(vals, step=step + 1)
+
+        if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
+            ev = run_eval(state)
+            print(
+                f"  eval @ step {step + 1}: mAP@0.5 {ev['mAP@0.5']:.4f} "
+                f"per-class {ev['ap@0.5']} mIoU {ev['mIoU']:.4f}",
+                flush=True,
+            )
+            if logger is not None:
+                logger.log(
+                    {k: v for k, v in ev.items() if not k.startswith("ap@")},
+                    step=step + 1,
+                )
+            if ckpt is not None:
+                ckpt.save(step + 1, jax.device_get(state))
+
+    # ---- NMS operating-point grid search (reference nb 03 cells 21-23) --
+    # raw model outputs once, then NMS on the host CPU backend per point
+    print("\nNMS grid search:", flush=True)
+    inference.update_variables(jax.device_get(state.variables()))
+    raw_out = []
+    for images, *_ in eval_raw:
+        mask, labels, boxes_yx = inference.raw_outputs(
+            images.astype(np.float32)
+        )
+        raw_out.append((np.asarray(mask), np.asarray(labels),
+                        np.asarray(boxes_yx)))
+    masks_pred = np.concatenate([r[0] for r in raw_out])
+    labels_all = np.concatenate([r[1] for r in raw_out])
+    boxes_all = np.concatenate([r[2] for r in raw_out])
+
+    cpu = jax.devices("cpu")[0]
+    best = None
+    with jax.default_device(cpu):
+        b = jnp.asarray(boxes_all)
+        s = jnp.asarray(labels_all)
+        for iou_thr in (0.025, 0.1, 0.2, 0.35, 0.5):
+            for prob_thr in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
+                nms = NonMaximumSuppression(
+                    max_number_of_boxes_per_class=4,
+                    max_number_of_boxes_per_sample=10,
+                    boxes_iou_threshold=iou_thr,
+                    labels_probability_threshold=prob_thr,
+                    suppress_background_boxes=False,
+                )
+                det = np.asarray(nms(b, s))
+                ap = evaluators.average_precision_object_detection(
+                    det[:, :, 0].astype(np.int32), det[:, :, 1],
+                    det[:, :, 2:], 0.5, gt,
+                    labels_codes=[0, 1, 2, 3], label_code_background=0,
+                )
+                m = float(np.mean(list(ap.values())))
+                if best is None or m > best[0]:
+                    best = (m, iou_thr, prob_thr, det)
+                print(
+                    f"  iou {iou_thr:.3f} prob {prob_thr:.2f}: "
+                    f"mAP@0.5 {m:.4f}",
+                    flush=True,
+                )
+
+    m, iou_thr, prob_thr, det = best
+    print(
+        f"\nbest operating point: iou {iou_thr} prob {prob_thr} "
+        f"(mAP@0.5 {m:.4f})",
+        flush=True,
+    )
+    final = evaluate(
+        det[:, :, 0].astype(np.int32), det[:, :, 1], det[:, :, 2:],
+        masks_pred, gt, gt_masks,
+    )
+    print(json.dumps(final, indent=2))
+    if logger is not None:
+        logger.log(
+            {
+                "final/mAP@0.5": final["mAP@0.5"],
+                "final/mAP@0.6": final["mAP@0.6"],
+                "final/mAP@0.7": final["mAP@0.7"],
+                "final/mIoU": final["mIoU"],
+                "final/nms_iou": iou_thr,
+                "final/nms_prob": prob_thr,
+            },
+            step=args.steps,
+        )
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

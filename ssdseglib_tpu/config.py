@@ -126,6 +126,21 @@ class TrainConfig:
     # bf16 forward/backward on the MXU, f32 losses.  bf16 shares f32's
     # exponent range so no loss scaling is needed.
     compute_dtype: str = "float32"
+    # learning-rate schedule: 'constant' (the reference recipe) or
+    # 'warmup_cosine' (linear warmup over lr_warmup_steps to
+    # learning_rate, cosine decay to lr_final over lr_total_steps)
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_total_steps: Optional[int] = None
+    lr_final: float = 0.0
+    # store Adam's first moment in bf16 (optax mu_dtype): halves the
+    # larger optimizer-state buffer with negligible update error (the
+    # second moment stays f32 — its ratio semantics need the mantissa)
+    adam_mu_dtype: str = "float32"
+    # rematerialize the forward during backward (jax.checkpoint): trades
+    # ~30% more FLOPs for not storing the 480x640-resolution mask-head
+    # activations — useful for large batches / long schedules
+    remat: bool = False
 
 
 def reference_warehouse_config():

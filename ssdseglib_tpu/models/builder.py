@@ -253,6 +253,7 @@ class InferenceModel:
         compute_dtype = self._compute_dtype
 
         fused_forward = None
+        self._fused_forward = None
         if fused_backbone:
             from ssdseglib_tpu.models.fused_inference import make_fused_forward
 
@@ -260,8 +261,9 @@ class InferenceModel:
             fused_forward = make_fused_forward(
                 module.cfg, variables_f32, compute_dtype=self._compute_dtype
             )
+            self._fused_forward = fused_forward
 
-        def forward(variables, images):
+        def pre_nms(variables, images):
             if fused_forward is not None:
                 out = fused_forward(images)
             else:
@@ -273,10 +275,42 @@ class InferenceModel:
             if use_segmentation_suppression:
                 labels = seg_suppression(mask, labels)
             boxes_yx = decode(out["output-boxes"].astype(jnp.float32))
+            return mask, labels, boxes_yx
+
+        def forward(variables, images):
+            mask, labels, boxes_yx = pre_nms(variables, images)
             detections = nms_core(boxes_yx, labels)
             return mask, detections
 
         self._forward = jax.jit(forward)
+        self._pre_nms_fn = jax.jit(pre_nms)
+
+    def update_variables(self, variables) -> None:
+        """Swap in new weights without recompiling the serving program
+        (the jitted forward takes variables as an argument).  Used for
+        periodic in-training evaluation; not available with
+        `fused_backbone=True` (folded weights are baked into the jit)."""
+        if self._fused_forward is not None:
+            raise ValueError(
+                "update_variables is not supported with fused_backbone=True"
+            )
+        if self._compute_dtype != jnp.float32:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(self._compute_dtype), variables
+            )
+        if self.mesh is None:
+            self.variables = jax.device_put(variables)
+        else:
+            from ssdseglib_tpu.parallel import mesh as mesh_lib
+
+            self.variables = mesh_lib.replicate(self.mesh, variables)
+
+    def raw_outputs(self, images):
+        """Forward + decode + gating WITHOUT the NMS step: returns
+        (mask (B,H,W,C), gated labels (B,N,C), decoded boxes_yx (B,N,4)),
+        all f32.  Feeds NMS operating-point grid searches (reference
+        notebook 03 cells 21-23) without re-running the network."""
+        return self._pre_nms_fn(self.variables, self._prepare(images))
 
     def _prepare(self, images):
         images = jnp.asarray(images)

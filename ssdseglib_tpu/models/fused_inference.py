@@ -55,13 +55,34 @@ def _conv(x, kernel, bias, stride: int = 1, depthwise: bool = False,
     return y
 
 
+def _s2d_stem_applicable(x: jnp.ndarray, row_tile: int) -> bool:
+    """Shape gate for the batch-packed s2d stem/block1 kernel."""
+    B, H, W = x.shape[:3]
+    return (
+        B % 4 == 0
+        and H % (4 * row_tile) == 0
+        and W % 4 == 0
+        and (H // 2) % (2 * row_tile) == 0
+    )
+
+
 def mobilenetv2_features_fused(
     folded: Dict[str, Tuple[np.ndarray, np.ndarray]],
     x: jnp.ndarray,
     interpret: bool = False,
+    s2d_stem=False,
+    s2d_row_tile: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backbone forward on pre-scaled input ([-1, 1]); returns the three
-    head taps (fm1 os16, fm2 os32, skip os4)."""
+    head taps (fm1 os16, fm2 os32, skip os4).
+
+    s2d_stem: run stem + block1 through the batch-packed space-to-depth
+    reformulation (ops/s2d_stem.py) when the input shape allows it.
+    'xla' uses the conv formulation; 'pallas' the single fused kernel.
+    Default OFF: measured on v5e (docs/PERFORMANCE.md round 2), BOTH
+    variants lose to XLA's own lowering of the plain stem (15.8 / 18.1 ms
+    vs 12.0 ms batch-16 forward) — kept as a verified-correct experiment
+    and for future hardware where the trade-off may differ."""
 
     def block_convs(block: int):
         return (
@@ -70,17 +91,33 @@ def mobilenetv2_features_fused(
             folded[f"backbone-block{block}-project"],
         )
 
-    # stem (block 0)
-    (we, be), (wd, bd), (wp, bp) = block_convs(0)
-    x = _conv(x, we, be, stride=2, relu6=True)
-    x = _conv(x, wd, bd, depthwise=True, relu6=True)
-    x = _conv(x, wp, bp)
+    use_s2d = s2d_stem and _s2d_stem_applicable(
+        x, s2d_row_tile if s2d_stem == "pallas" else 1
+    )
+    if use_s2d and s2d_stem == "pallas":
+        from ssdseglib_tpu.ops.s2d_stem import fused_s2d_stem_block1
+
+        x = fused_s2d_stem_block1(
+            x, folded, row_tile=s2d_row_tile, interpret=interpret
+        )
+    elif use_s2d:
+        from ssdseglib_tpu.ops.s2d_stem import s2d_stem_block1_xla
+
+        x = s2d_stem_block1_xla(x, folded)
+    else:
+        # stem (block 0) + block1 as plain XLA convs
+        (we, be), (wd, bd), (wp, bp) = block_convs(0)
+        x = _conv(x, we, be, stride=2, relu6=True)
+        x = _conv(x, wd, bd, depthwise=True, relu6=True)
+        x = _conv(x, wp, bp)
 
     taps = {}
     block = 0
     for expansion, channels_out, n_repeat, stride in _SEQUENCES:
         for n in range(n_repeat):
             block += 1
+            if block == 1 and use_s2d:
+                continue  # already inside the s2d kernel
             (we, be), (wd, bd), (wp, bp) = block_convs(block)
             if n == 0:
                 # stride-s first block, no residual: XLA convs; expose the
@@ -104,7 +141,8 @@ def mobilenetv2_features_fused(
 
 
 def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
-                       interpret: bool = False):
+                       interpret: bool = False, s2d_stem=False,
+                       s2d_row_tile: int = 4):
     """Build a fused-backbone forward with the same signature/outputs as
     `SsdSegModel.apply(variables, images, train=False)`."""
     from ssdseglib_tpu.models.builder import SsdSegHeads
@@ -133,7 +171,8 @@ def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
     def forward(images):
         x = images.astype(compute_dtype) / 127.5 - 1.0
         fm1, fm2, skip = mobilenetv2_features_fused(
-            folded, x, interpret=interpret
+            folded, x, interpret=interpret, s2d_stem=s2d_stem,
+            s2d_row_tile=s2d_row_tile,
         )
         return heads.apply(heads_vars, fm1, fm2, skip, train=False)
 

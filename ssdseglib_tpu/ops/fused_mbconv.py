@@ -122,6 +122,24 @@ def fused_mbconv(
     if residual and Cin != Cout:
         raise ValueError("residual requires Cin == Cout")
 
+    # Batch chunking: compiling this kernel with grid > 16 on a
+    # large-spatial block (e.g. 120x160, E=144) crashes this environment's
+    # remote-compile helper (isolated empirically: 30x40 E=384 compiles at
+    # B=32, 120x160 E=144 does not).  Grid programs execute serially per
+    # core, so slicing the batch into <=16-element sub-calls inside the
+    # same jit costs nothing and lifts the batch ceiling.
+    if B > 16:
+        chunk = 16
+        parts = [
+            fused_mbconv(
+                x[i : i + chunk], w_expand, b_expand, w_depthwise,
+                b_depthwise, w_project, b_project,
+                residual=residual, interpret=interpret,
+            )
+            for i in range(0, B, chunk)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
     dtype = x.dtype
     kernel = functools.partial(
         _mbconv_kernel, residual=residual, acc_dtype=jnp.float32

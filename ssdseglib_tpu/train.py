@@ -89,7 +89,21 @@ class Trainer:
         )
         self._cat_acc = metrics_lib.categorical_accuracy(det_weights)
 
-        self.tx = optax.adam(cfg.learning_rate)
+        if cfg.lr_schedule == "constant":
+            lr = cfg.learning_rate
+        elif cfg.lr_schedule == "warmup_cosine":
+            if not cfg.lr_total_steps:
+                raise ValueError("warmup_cosine needs lr_total_steps")
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=cfg.learning_rate,
+                warmup_steps=cfg.lr_warmup_steps,
+                decay_steps=cfg.lr_total_steps,
+                end_value=cfg.lr_final,
+            )
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        self.tx = optax.adam(lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype))
         self._train_step = None
         self._eval_step = None
         self._fused_steps = {}
@@ -152,6 +166,14 @@ class Trainer:
         compute_dtype = jnp.dtype(self.config.compute_dtype)
         mixed = compute_dtype != jnp.float32
 
+        apply_train = functools.partial(
+            module.apply, train=True, mutable=["batch_stats"]
+        )
+        if self.config.remat:
+            # rematerialize the forward in the backward pass instead of
+            # storing the full-resolution mask-head activations
+            apply_train = jax.checkpoint(apply_train)
+
         def loss_fn(params, batch_stats, images, targets):
             if mixed:
                 # mixed precision: grads flow through the cast back to the
@@ -168,9 +190,7 @@ class Trainer:
                 images = images.astype(compute_dtype)
             else:
                 apply_vars = {"params": params, "batch_stats": batch_stats}
-            outputs, mutated = module.apply(
-                apply_vars, images, train=True, mutable=["batch_stats"]
-            )
+            outputs, mutated = apply_train(apply_vars, images)
             outputs = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32), outputs
             )

@@ -51,6 +51,28 @@ def test_fused_forward_matches_standard(setup):
         )
 
 
+@pytest.mark.parametrize("mode", ["pallas", "xla"])
+def test_fused_forward_s2d_stem_matches_standard(setup, mode):
+    """The batch-packed s2d stem/block1 reformulations (ops/s2d_stem.py,
+    opt-in) must still match the Flax path end-to-end."""
+    module, variables = setup
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 96, 128, 3)).astype(np.float32))
+
+    expected = module.apply(variables, x, train=False)
+    fused = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True,
+        s2d_stem=mode,
+    )
+    got = fused(x)
+
+    for key in expected:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(expected[key]),
+            rtol=2e-3, atol=2e-3, err_msg=key,
+        )
+
+
 def test_fused_forward_rejects_shufflenet(setup):
     _, variables = setup
     cfg = ModelConfig(backbone="shufflenetv2")

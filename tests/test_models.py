@@ -149,6 +149,60 @@ def test_builder_end_to_end_inference():
     assert np.all(np.isfinite(detections))
 
 
+def test_inference_update_variables_and_raw_outputs():
+    """Weight swap without recompile + the pre-NMS raw-output surface
+    (feeds the NMS grid search in examples/04)."""
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = MobileNetV2SsdSegBuilder(
+        input_image_shape=(96, 128, 3),
+        number_of_boxes_per_point=6,
+        number_of_classes=4,
+        **_tiny_anchor_args(n_boxes),
+    )
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    v1 = trainable.init(jax.random.key(1))
+    v2 = trainable.init(jax.random.key(2))
+    inference = builder.get_model_for_inference(
+        model_trained=v1,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32)
+
+    mask, labels, boxes_yx = inference.raw_outputs(images)
+    assert mask.shape == (2, 96, 128, 4)
+    assert labels.shape == (2, n_boxes, 4)
+    assert boxes_yx.shape == (2, n_boxes, 4)
+    # gated labels came out of a softmax (+ suppression zeros)
+    assert float(jnp.max(labels)) <= 1.0 + 1e-5
+
+    mask_a, _ = inference.predict(images)
+    inference.update_variables(v2)
+    mask_b, _ = inference.predict(images)
+    assert not np.allclose(mask_a, mask_b)  # weights actually swapped
+
+    # fused path refuses the swap (folded weights baked into the jit)
+    fused = builder.get_model_for_inference(
+        model_trained=v1,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+        fused_backbone=True,
+    )
+    with pytest.raises(ValueError):
+        fused.update_variables(v2)
+
+
 def test_shufflenet_builder_validates_size():
     with pytest.raises(ValueError):
         ShuffleNetV2SsdSegBuilder(

@@ -177,6 +177,57 @@ def test_params_npz_roundtrip(tmp_path, trainer):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_warmup_cosine_schedule(anchors, loader):
+    """lr_schedule='warmup_cosine' builds and steps; a missing
+    lr_total_steps is rejected."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TRAIN_CFG, lr_schedule="warmup_cosine", lr_warmup_steps=2,
+        lr_total_steps=10, lr_final=1e-6,
+    )
+    model = TrainableModel(module=SsdSegModel(cfg=MODEL_CFG), cfg=MODEL_CFG)
+    tr = Trainer(model=model, anchors=anchors, config=cfg)
+    state = tr.init_state(jax.random.key(6))
+    step = tr.train_step_fn()
+    images, targets = next(iter(loader))
+    s1, m1 = step(state, images, targets)
+    _, m2 = step(s1, images, targets)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+    bad = dataclasses.replace(TRAIN_CFG, lr_schedule="warmup_cosine")
+    with pytest.raises(ValueError):
+        Trainer(model=model, anchors=anchors, config=bad)
+
+
+def test_bf16_mu_and_remat_train_step(anchors, loader):
+    """Optimizer-state bf16 first moment + rematerialized forward: the
+    step must run, store mu in bf16, and still drive the loss down."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TRAIN_CFG,
+        compute_dtype="bfloat16",
+        adam_mu_dtype="bfloat16",
+        remat=True,
+    )
+    model = TrainableModel(module=SsdSegModel(cfg=MODEL_CFG), cfg=MODEL_CFG)
+    tr = Trainer(model=model, anchors=anchors, config=cfg)
+    state = tr.init_state(jax.random.key(5))
+    mu_leaf = jax.tree_util.tree_leaves(state.opt_state[0].mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    nu_leaf = jax.tree_util.tree_leaves(state.opt_state[0].nu)[0]
+    assert nu_leaf.dtype == jnp.float32
+
+    step = tr.train_step_fn()
+    images, targets = next(iter(loader))
+    state, m1 = step(state, images, targets)
+    for _ in range(10):
+        state, m2 = step(state, images, targets)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
+
+
 def test_shufflenet_train_step(anchors, loader):
     """Gradients flow through channel shuffle/split: one step, finite loss."""
     import dataclasses
