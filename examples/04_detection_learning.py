@@ -74,6 +74,32 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--f32", action="store_true",
                         help="disable mixed-precision training")
+    parser.add_argument("--hnm-ratio", type=float, default=3.0,
+                        help="hard-negative budget (x positives); 3.0 = "
+                        "exact reference loss; <= 0 selects the "
+                        "all-negatives extension (measured WORSE: the "
+                        "positive gradient drowns, docs/PERFORMANCE.md)")
+    parser.add_argument("--nms-max-per-class", type=int, default=4)
+    parser.add_argument("--nms-max-total", type=int, default=10,
+                        help="NMS output budget; the reference point is "
+                        "4/10, but background-class rows (the reference "
+                        "runs NMS over class 0 too) occupy up to "
+                        "max-per-class slots, so a larger budget "
+                        "decrowds recall")
+    parser.add_argument("--precise-bn", type=int, default=0,
+                        help="re-estimate BN statistics over N training "
+                        "batches (PreciseBN) before every evaluation; 0 "
+                        "keeps the EMA stats (measured: EMA stats produce "
+                        "~20x more false positives on this model)")
+    parser.add_argument("--uncapped-head-logits", action="store_true",
+                        help="remove the reference's ReLU6 cap on the "
+                        "classification logits (framework extension: "
+                        "avoids the saturated-tie / dead-channel "
+                        "pathology; off = exact reference head)")
+    parser.add_argument("--occluded-scenes", action="store_true",
+                        help="allow overlapping objects (occlusion-noisy "
+                        "ground truth; default uses clean non-overlapping "
+                        "scenes so detection GT is exact)")
     args = parser.parse_args()
 
     anchors_cfg, enc_cfg, model_cfg, _, _ = reference_warehouse_config()
@@ -87,13 +113,17 @@ def main() -> None:
         lr_final=args.peak_lr / 20,
         seed=1993,
         compute_dtype="float32" if args.f32 else "bfloat16",
+        hnm_negatives_ratio=args.hnm_ratio if args.hnm_ratio > 0 else None,
     )
 
+    clean = not args.occluded_scenes
     train_scenes = generate_dataset(
-        args.train_scenes, image_shape=enc_cfg.image_shape, seed=1993
+        args.train_scenes, image_shape=enc_cfg.image_shape, seed=1993,
+        non_overlapping=clean,
     )
     eval_scenes = generate_dataset(
-        args.eval_scenes, image_shape=enc_cfg.image_shape, seed=2024
+        args.eval_scenes, image_shape=enc_cfg.image_shape, seed=2024,
+        non_overlapping=clean,
     )
     loader = TrainDataLoader(
         train_scenes, anchors, enc_cfg, batch_size=args.batch_size,
@@ -122,6 +152,7 @@ def main() -> None:
         width_boxes_default=anchors.width,
         height_boxes_default=anchors.height,
         standard_deviations_centroids_offsets=enc_cfg.standard_deviations,
+        detection_head_relu_max=0.0 if args.uncapped_head_logits else None,
     )
     model = builder.get_model_for_training(
         segmentation_dilation_rates=model_cfg.segmentation_dilation_rates
@@ -145,7 +176,8 @@ def main() -> None:
     # (no recompile).  Monitoring NMS point is mid-grid; the final
     # operating point comes from the grid search below.
     monitor_nms = NmsConfig(
-        max_boxes_per_class=4, max_boxes_per_sample=10,
+        max_boxes_per_class=args.nms_max_per_class,
+        max_boxes_per_sample=args.nms_max_total,
         iou_threshold=0.2, score_threshold=0.5,
     )
     inference = builder.get_model_for_inference(
@@ -172,7 +204,26 @@ def main() -> None:
             gt.append((gl[i][:n], gb[i][:n]))
             gt_masks.append(masks[i])
 
+    def recalibrated(state):
+        """PreciseBN over device-resident train batches (re-using the
+        fused transform to produce images)."""
+        if not args.precise_bn:
+            return state
+
+        def batch_iter():
+            for i in range(args.precise_bn):
+                rng = jax.random.fold_in(jax.random.key(4242), i)
+                images, targets = loader.transform(
+                    rng, *raw_batches[i % n_batches]
+                )
+                yield images, targets
+
+        return trainer.recalibrate_batch_stats(
+            state, batch_iter(), max_batches=args.precise_bn
+        )
+
     def run_eval(state):
+        state = recalibrated(state)
         inference.update_variables(jax.device_get(state.variables()))
         masks_pred, dets = [], []
         for images, *_ in eval_raw:
@@ -234,6 +285,7 @@ def main() -> None:
     # ---- NMS operating-point grid search (reference nb 03 cells 21-23) --
     # raw model outputs once, then NMS on the host CPU backend per point
     print("\nNMS grid search:", flush=True)
+    state = recalibrated(state)
     inference.update_variables(jax.device_get(state.variables()))
     raw_out = []
     for images, *_ in eval_raw:
@@ -254,8 +306,8 @@ def main() -> None:
         for iou_thr in (0.025, 0.1, 0.2, 0.35, 0.5):
             for prob_thr in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
                 nms = NonMaximumSuppression(
-                    max_number_of_boxes_per_class=4,
-                    max_number_of_boxes_per_sample=10,
+                    max_number_of_boxes_per_class=args.nms_max_per_class,
+                    max_number_of_boxes_per_sample=args.nms_max_total,
                     boxes_iou_threshold=iou_thr,
                     labels_probability_threshold=prob_thr,
                     suppress_background_boxes=False,

@@ -103,6 +103,16 @@ class ModelConfig:
     # shufflenet path which zeroes activations in Keras (blocks.py:154 with
     # relu_max_value default 0.0); we treat relu_max<=0 as an uncapped ReLU
     # and document the deviation instead of silently zeroing the network.
+    #
+    # detection_head_relu_max: relu cap of the SSDLite head blocks ONLY.
+    # None = the backbone default (6.0 on mobilenetv2 — the reference
+    # applies ReLU6 to the classification logits BEFORE the softmax,
+    # models.py:259, so confidence saturates at e^6/(e^6+C-1) with zero
+    # gradient beyond the cap; a documented dead-channel / tied-score
+    # pathology, docs/PERFORMANCE.md).  0.0 = uncapped ReLU — a framework
+    # extension that removes the pathology; breaks weight-for-weight
+    # parity with the published checkpoint, so it is opt-in.
+    detection_head_relu_max: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +136,11 @@ class TrainConfig:
     # bf16 forward/backward on the MXU, f32 losses.  bf16 shares f32's
     # exponent range so no loss scaling is needed.
     compute_dtype: str = "float32"
+    # hard-negative budget of the confidence loss as a multiple of the
+    # positive count; 3.0 = the reference's exact behavior, None = every
+    # background anchor contributes (framework extension — see
+    # losses.confidence_loss)
+    hnm_negatives_ratio: Optional[float] = 3.0
     # learning-rate schedule: 'constant' (the reference recipe) or
     # 'warmup_cosine' (linear warmup over lr_warmup_steps to
     # learning_rate, cosine decay to lr_final over lr_total_steps)

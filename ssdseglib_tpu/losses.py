@@ -17,7 +17,7 @@ Reference quirks preserved on purpose (SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 
@@ -47,8 +47,12 @@ def localization_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(per_box, axis=-1) / jnp.maximum(num_pos, 1.0)
 
 
-def confidence_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
-    """Softmax CE with 3:1 batch-global hard-negative mining.
+def confidence_loss(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    negatives_ratio: Optional[float] = 3.0,
+) -> jnp.ndarray:
+    """Softmax CE with batch-global hard-negative mining.
 
     Reference: ssdseglib/losses.py:52-172.  The top-k selection over
     background losses runs on the flattened (B*N,) tensor with
@@ -63,6 +67,15 @@ def confidence_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     Args:
         y_true: (B, N, C) one-hot labels (class 0 = background)
         y_pred: (B, N, C) predicted probabilities
+        negatives_ratio: hard-negative budget as a multiple of the positive
+            count.  The default 3.0 is the reference's exact behavior.
+            ``None`` is a framework EXTENSION: every background anchor
+            contributes (plain CE normalized by positives) — with the
+            reference's ReLU6-capped class logits this continuously drives
+            confidently-wrong background anchors down through the (still
+            trainable) background logit instead of waiting for them to
+            enter the top-k budget, which stabilizes detection score
+            ordering (docs/PERFORMANCE.md round-2 learning study).
     Returns:
         (B,) per-sample loss.
     """
@@ -75,10 +88,16 @@ def confidence_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     pos_loss = jnp.sum(ce * not_background, axis=-1)  # (B,)
     num_pos_per_sample = jnp.sum(not_background, axis=-1)
 
+    if negatives_ratio is None:
+        neg_loss = jnp.sum(ce * is_background, axis=-1)  # (B,)
+        return (pos_loss + neg_loss) / jnp.maximum(num_pos_per_sample, 1.0)
+
     # global hard-negative budget
     total_pos = jnp.sum(not_background).astype(jnp.int32)
     total_bg = jnp.sum(is_background).astype(jnp.int32)
-    k = jnp.minimum(3 * total_pos, total_bg)
+    k = jnp.minimum(
+        (negatives_ratio * total_pos).astype(jnp.int32), total_bg
+    )
 
     bg_loss_flat = (ce * is_background).reshape(-1)
     order = jnp.argsort(-bg_loss_flat, stable=True)

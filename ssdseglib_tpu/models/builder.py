@@ -79,10 +79,15 @@ def _apply_heads(cfg: ModelConfig, fm1, fm2, skip, train: bool):
         name="mask-decoder",
     )(mask_encoder, skip, train)
 
+    head_relu_max = (
+        cfg.detection_head_relu_max
+        if cfg.detection_head_relu_max is not None
+        else relu_max
+    )
     labels, boxes = SsdLiteHeads(
         boxes_per_point=cfg.boxes_per_point,
         number_of_classes=cfg.number_of_classes,
-        relu_max=relu_max,
+        relu_max=head_relu_max,
         name="heads",
     )([fm1, fm2, fm3, fm4], train)
 
@@ -450,7 +455,10 @@ class MobileNetV2SsdSegBuilder(_BuilderBase):
         width_boxes_default,
         height_boxes_default,
         standard_deviations_centroids_offsets,
+        **model_kwargs,
     ) -> None:
+        """model_kwargs: extra ModelConfig fields beyond the reference ctor
+        surface (e.g. detection_head_relu_max=0.0 for uncapped logits)."""
         super().__init__(
             input_image_shape,
             number_of_boxes_per_point,
@@ -461,6 +469,7 @@ class MobileNetV2SsdSegBuilder(_BuilderBase):
             height_boxes_default,
             standard_deviations_centroids_offsets,
             backbone="mobilenetv2",
+            **model_kwargs,
         )
 
 

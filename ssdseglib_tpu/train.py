@@ -126,7 +126,8 @@ class Trainer:
         )
         l_conf = jnp.mean(
             losses_lib.confidence_loss(
-                targets["output-labels"], outputs["output-labels"]
+                targets["output-labels"], outputs["output-labels"],
+                negatives_ratio=cfg.hnm_negatives_ratio,
             )
         )
         l_loc = jnp.mean(
@@ -221,6 +222,74 @@ class Trainer:
 
         self._train_step = train_step
         return train_step
+
+    def recalibrate_batch_stats(
+        self, state: TrainState, batches, max_batches: int = 64
+    ) -> TrainState:
+        """PreciseBN: replace the EMA batch-norm statistics with the TRUE
+        population statistics estimated over training batches.
+
+        The EMA stats a momentum-0.99 BatchNorm accumulates can sit far
+        from the population statistics the deployed network actually sees
+        (measured on v5e: ~20x more false-positive detections under EMA
+        stats than under batch stats — docs/PERFORMANCE.md round-2
+        learning study).  Standard practice in detection frameworks
+        (PreciseBN); the reference has no equivalent.
+
+        Per-batch statistics are recovered from the flax EMA update
+        (batch = (new - m * old) / (1 - m)) so no module changes are
+        needed; the population variance is E[var_b + mean_b^2] -
+        E[mean_b]^2.
+
+        Args:
+            batches: iterable of (images, targets) training batches
+                (targets unused); only the first `max_batches` are read.
+        """
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        from ssdseglib_tpu.models.blocks import BN_MOMENTUM
+
+        module = self.model.module
+
+        @jax.jit
+        def batch_stats_of(variables, images):
+            _, mutated = module.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            m = BN_MOMENTUM
+            return jax.tree_util.tree_map(
+                lambda new, old: (new - m * old) / (1.0 - m),
+                mutated["batch_stats"], variables["batch_stats"],
+            )
+
+        variables = state.variables()
+        acc: Dict = {}
+        n = 0
+        for item in batches:
+            if n >= max_batches:
+                break
+            images = item[0]
+            flat = flatten_dict(
+                jax.device_get(batch_stats_of(variables, images))
+            )
+            for path, value in flat.items():
+                kind = path[-1]  # 'mean' or 'var'
+                slot = acc.setdefault(path[:-1], {"mean": 0.0, "m2": 0.0})
+                if kind == "mean":
+                    slot["mean"] = slot["mean"] + value
+                    slot["m2"] = slot["m2"] + value * value
+                elif kind == "var":
+                    slot["m2"] = slot["m2"] + value
+            n += 1
+        if n == 0:
+            return state
+        new_flat = {}
+        for base, slot in acc.items():
+            e_mean = slot["mean"] / n
+            e_var = slot["m2"] / n - e_mean * e_mean
+            new_flat[base + ("mean",)] = jnp.asarray(e_mean)
+            new_flat[base + ("var",)] = jnp.asarray(np.maximum(e_var, 0.0))
+        return state.replace(batch_stats=unflatten_dict(new_flat))
 
     def eval_step_fn(self) -> Callable:
         if self._eval_step is not None:

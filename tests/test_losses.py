@@ -56,6 +56,29 @@ def test_confidence_loss_parity(reference, seed, pos_frac):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_confidence_loss_all_negatives_extension():
+    """negatives_ratio=None (framework extension): every background anchor
+    contributes — equals plain CE normalized by per-sample positives; the
+    default 3.0 path stays golden-pinned to the reference elsewhere."""
+    rng = np.random.default_rng(5)
+    labels, _, _, probs = _random_box_targets(rng, pos_frac=0.1)
+    ours = np.asarray(
+        tpu_losses.confidence_loss(labels, probs, negatives_ratio=None)
+    )
+    ce = -np.sum(labels * np.log(np.clip(probs, 1e-7, 1 - 1e-7)), axis=-1)
+    num_pos = np.sum(1.0 - labels[..., 0], axis=-1)
+    want = ce.sum(-1) / np.maximum(num_pos, 1.0)
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-5)
+    # all-negatives >= hard-negative-mined loss (supset of CE terms)
+    mined = np.asarray(tpu_losses.confidence_loss(labels, probs))
+    assert np.all(ours >= mined - 1e-6)
+    # a larger explicit ratio also monotonically increases the loss
+    r10 = np.asarray(
+        tpu_losses.confidence_loss(labels, probs, negatives_ratio=10.0)
+    )
+    assert np.all(r10 >= mined - 1e-6) and np.all(ours >= r10 - 1e-6)
+
+
 def test_confidence_loss_hard_negative_budget_is_global(reference):
     """Sample 0 has many positives, sample 1 none: the reference's global
     3:1 budget lets sample 1 contribute negatives funded by sample 0's

@@ -203,6 +203,40 @@ def test_inference_update_variables_and_raw_outputs():
         fused.update_variables(v2)
 
 
+def test_detection_head_relu_cap_knob():
+    """detection_head_relu_max=0.0 (uncapped extension) must lift the
+    reference's ReLU6 confidence ceiling e^6/(e^6+C-1) ~ 0.9926
+    (reference models.py:259 applies ReLU6 to the class logits)."""
+    import dataclasses
+
+    from ssdseglib_tpu.models.builder import SsdSegModel
+
+    base = ModelConfig(
+        input_image_shape=(96, 128, 3),
+        number_of_classes=4,
+        boxes_per_point=(6, 6, 6, 6),
+        segmentation_dilation_rates=(3, 6, 12),
+    )
+    uncapped = dataclasses.replace(base, detection_head_relu_max=0.0)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (1, 96, 128, 3)),
+        jnp.float32,
+    )
+    ceiling = float(np.exp(6) / (np.exp(6) + 3))
+
+    m1 = SsdSegModel(cfg=base)
+    v1 = m1.init(jax.random.key(0), x, train=False)
+    # scale params up so head logits exceed the cap
+    big = jax.tree_util.tree_map(lambda a: a * 4.0, v1["params"])
+    out1 = m1.apply({"params": big, "batch_stats": v1["batch_stats"]}, x, train=False)
+    assert float(jnp.max(out1["output-labels"])) <= ceiling + 1e-4
+
+    m2 = SsdSegModel(cfg=uncapped)
+    out2 = m2.apply({"params": big, "batch_stats": v1["batch_stats"]}, x, train=False)
+    assert float(jnp.max(out2["output-labels"])) > ceiling + 1e-4
+
+
 def test_shufflenet_builder_validates_size():
     with pytest.raises(ValueError):
         ShuffleNetV2SsdSegBuilder(

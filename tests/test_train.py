@@ -177,6 +177,46 @@ def test_params_npz_roundtrip(tmp_path, trainer):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_recalibrate_batch_stats(trainer, loader):
+    """PreciseBN moment math: with one repeated batch the recalibrated
+    statistics equal that batch's own statistics; they differ from the
+    near-initialization EMA stats."""
+    images, targets = next(iter(loader))
+    state = trainer.init_state(jax.random.key(7))
+    step = trainer.train_step_fn()
+    state, _ = step(state, images, targets)
+
+    recal = trainer.recalibrate_batch_stats(
+        state, [(images, targets)] * 3, max_batches=3
+    )
+    # expected: the exact batch statistics recovered from one EMA update
+    from ssdseglib_tpu.models.blocks import BN_MOMENTUM
+
+    _, mutated = trainer.model.module.apply(
+        state.variables(), images, train=True, mutable=["batch_stats"]
+    )
+    expected = jax.tree_util.tree_map(
+        lambda new, old: (new - BN_MOMENTUM * old) / (1.0 - BN_MOMENTUM),
+        mutated["batch_stats"], state.batch_stats,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(recal.batch_stats),
+        jax.tree_util.tree_leaves(expected),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+    # and they moved away from the EMA stats
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(recal.batch_stats),
+            jax.tree_util.tree_leaves(state.batch_stats),
+        )
+    ]
+    assert max(diffs) > 1e-3
+
+
 def test_warmup_cosine_schedule(anchors, loader):
     """lr_schedule='warmup_cosine' builds and steps; a missing
     lr_total_steps is rejected."""
