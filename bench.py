@@ -11,6 +11,17 @@ path), distinct input batches each step (no identical-launch shortcuts),
 steady pipelined dispatch with a final block_until_ready fence — the
 realistic streaming-inference pattern.
 
+Round-3 serving options (VERDICT r2 item 2 — cut non-model overhead):
+- inputs are uint8, what the PNG decode path actually produces (the C++
+  loader emits uint8; the device casts + rescales inside the fused stem)
+  — 4x less input bytes than the old f32 protocol
+- mask_output='bfloat16': the bf16 compute path previously UPCAST its
+  bf16 mask probabilities to f32 for output; returning them as bf16 is
+  information-identical and halves the 4.9-MP-per-image output
+  materialization
+Both options change no probability the f32 protocol reported beyond the
+bf16 rounding already present.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
 """
@@ -62,13 +73,17 @@ def main() -> None:
         use_segmentation_suppression=nms_cfg.use_segmentation_suppression,
         compute_dtype="bfloat16",
         fused_backbone=True,
+        mask_output="bfloat16",
     )
 
-    # distinct input batches (defeats any identical-launch caching)
+    # distinct uint8 input batches (defeats any identical-launch caching)
     base = np.random.default_rng(0).uniform(
         0, 255, (batch, 480, 640, 3)
     ).astype(np.float32)
-    inputs = [jnp.asarray(base + float(i)) for i in range(8)]
+    inputs = [
+        jnp.asarray((base + float(i)) % 256.0, dtype=jnp.uint8)
+        for i in range(8)
+    ]
     jax.block_until_ready(inputs)
 
     # warmup / compile

@@ -90,7 +90,11 @@ def main() -> None:
                         help="re-estimate BN statistics over N training "
                         "batches (PreciseBN) before every evaluation; 0 "
                         "keeps the EMA stats (measured: EMA stats produce "
-                        "~20x more false positives on this model)")
+                        "~20x more false positives on this model). NOTE: "
+                        "checkpoints store the EMA stats, not the "
+                        "recalibrated ones — a restored checkpoint must "
+                        "re-run PreciseBN to reproduce the logged metrics "
+                        "(the metrics log records precise_bn for this)")
     parser.add_argument("--uncapped-head-logits", action="store_true",
                         help="remove the reference's ReLU6 cap on the "
                         "classification logits (framework extension: "
@@ -239,21 +243,23 @@ def main() -> None:
 
     logger = MetricsLogger(args.log_file) if args.log_file else None
     agg, n_agg = {}, 0
-    t0 = time.perf_counter()
+    # rate window: count the steps actually timed since the last reset so
+    # windows after resume / eval / checkpoint report training-only
+    # throughput (ADVICE r2)
+    t0, n_rate = time.perf_counter(), 0
     for step in range(start_step, args.steps):
         rng = jax.random.fold_in(base_key, step)
         state, metrics = fused(state, rng, *raw_batches[step % n_batches])
         for k, v in metrics.items():
             agg[k] = v if k not in agg else agg[k] + v
         n_agg += 1
+        n_rate += 1
 
         if (step + 1) % args.log_every == 0:
             vals = {k: float(np.asarray(v)) / n_agg for k, v in agg.items()}
             agg, n_agg = {}, 0
-            rate = args.log_every * args.batch_size / (
-                time.perf_counter() - t0
-            )
-            t0 = time.perf_counter()
+            rate = n_rate * args.batch_size / (time.perf_counter() - t0)
+            t0, n_rate = time.perf_counter(), 0
             print(
                 f"step {step + 1}: loss {vals['loss']:.4f} "
                 f"iou/mask {vals['iou/mask']:.3f} "
@@ -275,12 +281,17 @@ def main() -> None:
                 flush=True,
             )
             if logger is not None:
-                logger.log(
-                    {k: v for k, v in ev.items() if not k.startswith("ap@")},
-                    step=step + 1,
-                )
+                record = {
+                    k: v for k, v in ev.items() if not k.startswith("ap@")
+                }
+                # checkpoints store EMA stats; metrics were computed with
+                # PreciseBN-recalibrated stats when precise_bn > 0
+                record["precise_bn"] = args.precise_bn
+                logger.log(record, step=step + 1)
             if ckpt is not None:
                 ckpt.save(step + 1, jax.device_get(state))
+            # exclude eval/checkpoint time from the next rate window
+            t0, n_rate = time.perf_counter(), 0
 
     # ---- NMS operating-point grid search (reference nb 03 cells 21-23) --
     # raw model outputs once, then NMS on the host CPU backend per point

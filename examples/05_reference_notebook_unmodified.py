@@ -1,0 +1,135 @@
+"""Execute the REFERENCE training notebook's code cells VERBATIM against
+the JAX/TPU backend through the `ssdseglib` compat package.
+
+This is the BASELINE.json north-star check ("the tutorial notebooks run
+unmodified against the new backend"): the code cells of
+`/root/reference/03-multi-task-network-ssdlite-deeplabv3plus-training.ipynb`
+are extracted and exec'd unmodified, in order, in one namespace.  The only
+things this runner controls are *outside* the cells:
+
+- the working directory: the reference images are proprietary and absent
+  (reference data/.gitignore:1-5), so `data/*.json` point at synthetic
+  480x640 scenes (ssdseglib_tpu.data.synthetic) written before cell 1 runs
+- optionally `SSDSEGLIB_MAX_EPOCHS` (a documented compat-facade knob) to
+  bound the 105-epoch fit cell for quick smoke runs; by default the fit
+  runs the full verbatim 105 epochs
+- MPLBACKEND=Agg so the plotting cells run headless
+
+Usage:
+    python examples/05_reference_notebook_unmodified.py \
+        [--max-epochs N] [--workdir DIR] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NOTEBOOK = (
+    "/root/reference/03-multi-task-network-ssdlite-deeplabv3plus-training.ipynb"
+)
+
+
+def synthesize_data(workdir: str) -> None:
+    """Write synthetic PNG/CSV triples + the five metadata JSONs the
+    notebook's cell 4 reads (reference notebook 03 cell 4)."""
+    from PIL import Image
+
+    from ssdseglib_tpu.data.synthetic import generate_sample
+
+    os.makedirs(f"{workdir}/data/images", exist_ok=True)
+
+    def write_split(name: str, count: int, seed: int):
+        triples = []
+        for i in range(count):
+            s = generate_sample(i, image_shape=(480, 640), seed=seed)
+            pi = f"data/images/{name}-{i}-image.png"
+            pm = f"data/images/{name}-{i}-mask.png"
+            pl = f"data/images/{name}-{i}-boxes.csv"
+            Image.fromarray(s.image).save(f"{workdir}/{pi}")
+            Image.fromarray(s.mask).save(f"{workdir}/{pm}")
+            with open(f"{workdir}/{pl}", "w") as f:
+                for label, (x0, y0, x1, y1) in zip(s.labels, s.boxes):
+                    f.write(f"{int(label)},{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}\r\n")
+            triples.append([pi, pm, pl])
+        with open(f"{workdir}/data/{name}.json", "w") as f:
+            json.dump(triples, f)
+
+    write_split("train", 8, seed=11)
+    write_split("train-additional-persons", 4, seed=22)
+    write_split("train-additional-forklifts", 2, seed=33)
+    write_split("eval-persons-forklifts", 2, seed=44)
+    write_split("test", 8, seed=55)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-epochs", type=int, default=None,
+                        help="cap the fit cell via SSDSEGLIB_MAX_EPOCHS "
+                        "(default: run the verbatim 105 epochs)")
+    parser.add_argument("--workdir", default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (CI smoke)")
+    args = parser.parse_args()
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    if args.max_epochs is not None:
+        os.environ["SSDSEGLIB_MAX_EPOCHS"] = str(args.max_epochs)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    # The image ships TF 2.21 / Keras 3; the reference pins TF 2.13, whose
+    # `tf.keras.saving` alias cell 2 uses.  Restore the alias (exactly what
+    # tests/conftest.py does before importing the reference as oracle).
+    import tensorflow as tf
+
+    if not hasattr(tf.keras, "saving"):
+        import keras
+
+        tf.keras.saving = keras.saving
+
+    workdir = args.workdir or f"/tmp/nb03_verbatim_{os.getpid()}"
+    os.makedirs(workdir, exist_ok=True)
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    synthesize_data(workdir)
+    os.chdir(workdir)
+    print(f"[runner] workdir {workdir}")
+
+    cells = [
+        "".join(c["source"])
+        for c in json.load(open(NOTEBOOK))["cells"]
+        if c["cell_type"] == "code"
+    ]
+    print(f"[runner] {len(cells)} code cells from {NOTEBOOK}")
+
+    namespace: dict = {"__name__": "__main__"}
+    t_total = time.perf_counter()
+    for i, src in enumerate(cells):
+        t0 = time.perf_counter()
+        print(f"\n[runner] ===== code cell {i} =====")
+        exec(compile(src, f"<notebook03-cell{i}>", "exec"), namespace)
+        print(f"[runner] cell {i} done in {time.perf_counter() - t0:.1f}s")
+
+    # sanity over the namespace the verbatim cells produced
+    history = namespace["history"]
+    assert len(history.history["loss"]) > 0
+    iou_per_class = namespace["iou_per_class"]
+    ap = namespace["average_precision_per_class"]
+    print(
+        f"\n[runner] VERBATIM_NOTEBOOK_OK epochs={len(history.history['loss'])} "
+        f"final_loss={history.history['loss'][-1]:.4f} "
+        f"mIoU={sum(iou_per_class.values()) / len(iou_per_class):.4f} "
+        f"mAP={sum(ap.values()) / len(ap):.4f} "
+        f"total={time.perf_counter() - t_total:.0f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

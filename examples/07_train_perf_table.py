@@ -1,0 +1,189 @@
+"""Measured best-config training-step table (VERDICT r2 item 3).
+
+One flagship-config (MobileNetV2 480x640, batch 16, full 3-loss objective
++ streaming metrics) sweep over the training performance knobs:
+
+    f32 -> bf16 compute -> + bf16 Adam-mu -> + remat -> fused-transform
+
+printing device ms/step and img/s for each.  Protocol: data resident on
+device, N pipelined steps, one final block_until_ready fence (per-call
+fencing measures relay RTT, not device time — docs/PERFORMANCE.md).
+
+Donation (`jax.jit(donate_argnums=(0,))`) is part of the train step itself
+(train.py) and therefore on in every row.
+
+Usage: python examples/07_train_perf_table.py [--steps 24] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ssdseglib_tpu.boxes import Anchors
+from ssdseglib_tpu.config import TrainConfig, reference_warehouse_config
+from ssdseglib_tpu.data.pipeline import TrainDataLoader
+from ssdseglib_tpu.data.synthetic import generate_dataset
+from ssdseglib_tpu.models.builder import SsdSegModel, TrainableModel
+from ssdseglib_tpu.train import Trainer
+
+
+def measure_config(
+    name: str,
+    train_cfg: TrainConfig,
+    model_cfg,
+    anchors: Anchors,
+    enc_cfg,
+    batch: int,
+    steps: int,
+    fused_transform: bool,
+) -> dict:
+    model = TrainableModel(module=SsdSegModel(cfg=model_cfg), cfg=model_cfg)
+    trainer = Trainer(model=model, anchors=anchors, config=train_cfg)
+    state = trainer.init_state(jax.random.key(0))
+
+    image_shape = enc_cfg.image_shape
+    loader = TrainDataLoader(
+        generate_dataset(2 * batch, image_shape=image_shape, seed=3),
+        anchors,
+        enc_cfg,
+        batch_size=batch,
+        augmentation_horizontal_flip=True,
+        augmentation_rgb=True,
+        shuffle=False,
+        seed=0,
+    )
+
+    if fused_transform:
+        step_fn = trainer.fused_train_step_fn(loader.transform)
+        raw = [
+            (rng, tuple(jax.device_put(a) for a in b))
+            for rng, b in loader.iter_raw()
+        ]
+        jax.block_until_ready(raw)
+
+        def run_step(state, i):
+            rng, b = raw[i % len(raw)]
+            return step_fn(state, rng, *b)
+    else:
+        step_fn = trainer.train_step_fn()
+        batches = [jax.device_put(b) for b in list(loader)[:2]]
+        jax.block_until_ready(batches)
+
+        def run_step(state, i):
+            images, targets = batches[i % len(batches)]
+            return step_fn(state, images, targets)
+
+    # compile + warmup
+    t_compile = time.perf_counter()
+    state, metrics = run_step(state, 0)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = run_step(state, i)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ms_per_step = 1000.0 * dt / steps
+    result = {
+        "name": name,
+        "ms_per_step": ms_per_step,
+        "img_per_s": batch * steps / dt,
+        "compile_s": compile_s,
+        "loss": float(np.asarray(metrics["loss"])),
+    }
+    print(
+        f"{name:<28} {ms_per_step:8.1f} ms/step  "
+        f"{result['img_per_s']:7.1f} img/s  "
+        f"(compile {compile_s:.0f}s, loss {result['loss']:.2f})",
+        flush=True,
+    )
+    assert np.isfinite(result["loss"])
+    return result
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=24)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes (CPU smoke)")
+    args = parser.parse_args()
+
+    anchors_cfg, enc_cfg, model_cfg, _, _ = reference_warehouse_config()
+    if args.quick:
+        import dataclasses
+
+        from ssdseglib_tpu.config import AnchorsConfig
+
+        anchors_cfg = AnchorsConfig(
+            feature_maps_shapes=((6, 8), (3, 4), (2, 2), (1, 1)),
+            feature_maps_aspect_ratios=((1.0, 2.0, 0.5),) * 4,
+            boxes_scales=(0.2, 0.9),
+            centers_padding_from_borders=(0.05,) * 4,
+            additional_square_box=True,
+        )
+        enc_cfg = dataclasses.replace(enc_cfg, image_shape=(96, 128))
+        model_cfg = dataclasses.replace(
+            model_cfg, input_image_shape=(96, 128, 3), boxes_per_point=(4,) * 4
+        )
+    anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
+
+    base = TrainConfig(batch_size=args.batch, learning_rate=1e-4)
+    rows = [
+        ("f32", base, False),
+        ("bf16", TrainConfig(batch_size=args.batch, compute_dtype="bfloat16"), False),
+        (
+            "bf16 + mu-bf16",
+            TrainConfig(
+                batch_size=args.batch, compute_dtype="bfloat16",
+                adam_mu_dtype="bfloat16",
+            ),
+            False,
+        ),
+        (
+            "bf16 + mu-bf16 + remat",
+            TrainConfig(
+                batch_size=args.batch, compute_dtype="bfloat16",
+                adam_mu_dtype="bfloat16", remat=True,
+            ),
+            False,
+        ),
+        (
+            "bf16 + mu-bf16 (fused xform)",
+            TrainConfig(
+                batch_size=args.batch, compute_dtype="bfloat16",
+                adam_mu_dtype="bfloat16",
+            ),
+            True,
+        ),
+    ]
+    print(
+        f"train-step sweep: batch {args.batch}, {args.steps} timed steps, "
+        f"image {enc_cfg.image_shape}, backend {jax.default_backend()}",
+        flush=True,
+    )
+    results = [
+        measure_config(
+            name, cfg, model_cfg, anchors, enc_cfg, args.batch, args.steps,
+            fused,
+        )
+        for name, cfg, fused in rows
+    ]
+    best = min(results, key=lambda r: r["ms_per_step"])
+    print(f"\nbest: {best['name']} at {best['ms_per_step']:.1f} ms/step "
+          f"({best['img_per_s']:.0f} img/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+"""Alias of `ssdseglib_tpu.boxes` under the reference module name.
+
+The reference notebooks address this module as `ssdseglib.boxes`
+(reference ssdseglib/__init__.py:1-9); every implementation lives in
+`ssdseglib_tpu.boxes` — this file only mirrors its namespace.
+"""
+
+import ssdseglib_tpu.boxes as _impl
+
+globals().update(
+    {k: v for k, v in vars(_impl).items() if not k.startswith("__")}
+)
+del _impl

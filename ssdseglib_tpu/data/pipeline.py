@@ -43,9 +43,25 @@ Sample = Union[PathTriple, SyntheticSample]
 
 def load_dataset_json(path: str, root: Optional[str] = None) -> List[PathTriple]:
     """Load a reference-format dataset JSON: a list of
-    [image.png, mask.png, labels_boxes.csv] triples (reference data/*.json)."""
+    [image.png, mask.png, labels_boxes.csv] triples (reference data/*.json).
+
+    The reference stores paths relative to the REPO root, not to the JSON
+    file (e.g. `data/train/1.png` inside `data/train.json` — reference
+    notebook 03 cell 4 opens them with cwd at the repo root).  With no
+    explicit `root`, paths that already start with the JSON's directory
+    name resolve against the JSON's parent directory; anything else
+    resolves against the JSON's directory.
+    """
     triples = json.load(open(path))
-    root = root or os.path.dirname(os.path.abspath(path))
+    if root is None:
+        json_dir = os.path.dirname(os.path.abspath(path))
+        dir_name = os.path.basename(json_dir)
+        if triples and all(
+            p.startswith(dir_name + "/") for p in triples[0]
+        ):
+            root = os.path.dirname(json_dir)  # reference layout
+        else:
+            root = json_dir
     return [tuple(os.path.join(root, p) for p in t) for t in triples]
 
 

@@ -307,6 +307,42 @@ def load_keras_file(path: str) -> Dict[str, List[np.ndarray]]:
     }
 
 
+def save_keras_file(
+    path: str,
+    weights_by_layer: Dict[str, List[np.ndarray]],
+    extra_files: Optional[Dict[str, str]] = None,
+) -> None:
+    """Write a TF-2.13-layout ``.keras`` zip (the reference checkpoint
+    format produced by `model.save` — reference notebook 03 cell 17):
+    a zip holding config.json / metadata.json / model.weights.h5, with
+    weights keyed ``_layer_checkpoint_dependencies/<layer>/vars/<i>``.
+
+    ``extra_files`` maps additional zip member names to string contents
+    (used by the `ssdseglib` compat facade to embed the model config so
+    `load_model` can rebuild the module).  Round-trips through
+    `load_keras_file`.
+    """
+    import io
+    import json
+    import zipfile
+
+    import h5py
+
+    buf = io.BytesIO()
+    with h5py.File(buf, "w") as h5:
+        root = h5.create_group("_layer_checkpoint_dependencies")
+        for layer, arrays in weights_by_layer.items():
+            g = root.create_group(layer).create_group("vars")
+            for i, arr in enumerate(arrays):
+                g.create_dataset(str(i), data=np.asarray(arr))
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("metadata.json", json.dumps({"keras_version": "2.13.1"}))
+        zf.writestr("config.json", json.dumps({"class_name": "Functional"}))
+        zf.writestr("model.weights.h5", buf.getvalue())
+        for name, content in (extra_files or {}).items():
+            zf.writestr(name, content)
+
+
 def _get_path(tree: Dict, path: Sequence[str]):
     node = tree
     for p in path:

@@ -89,11 +89,22 @@ class NonMaximumSuppression:
         )
 
     def __call__(
-        self, boxes_corners_coordinates: jnp.ndarray, labels_probabilities: jnp.ndarray
+        self,
+        boxes_corners_coordinates: jnp.ndarray,
+        labels_probabilities: jnp.ndarray,
+        iou_threshold=None,
+        score_threshold=None,
     ) -> jnp.ndarray:
-        """Args: boxes (B, N, 4) in (ymin, xmin, ymax, xmax); scores (B, N, C)."""
+        """Args: boxes (B, N, 4) in (ymin, xmin, ymax, xmax); scores
+        (B, N, C).  The optional threshold overrides may be traced jnp
+        scalars (runtime-tunable NMS operating point — see
+        ops/nms.combined_nms)."""
         out = nms_ops.combined_nms(
-            boxes_corners_coordinates, labels_probabilities, self.config
+            boxes_corners_coordinates,
+            labels_probabilities,
+            self.config,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
         )
         # reorder to (xmin, ymin, xmax, ymax) like the reference (layers.py:155)
         boxes_xy = out["boxes"][..., jnp.array([1, 0, 3, 2])]

@@ -12,6 +12,7 @@ segmentation suppression -> NMS) — no weight transfer step can go wrong.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -189,6 +190,76 @@ class TrainableModel:
         return count_parameters(variables)
 
 
+def _format_mask(mask: jnp.ndarray, mask_output: str) -> jnp.ndarray:
+    """Serving mask output format: 'float32' probabilities (reference
+    behavior), 'bfloat16' probabilities (halves the 4.9-MP-per-image
+    output materialization + transfer), or 'class_map' (uint8 argmax —
+    what most consumers compute anyway, 1/16th the bytes)."""
+    if mask_output == "float32":
+        return mask
+    if mask_output == "bfloat16":
+        return mask.astype(jnp.bfloat16)
+    if mask_output == "class_map":
+        return jnp.argmax(mask, axis=-1).astype(jnp.uint8)
+    raise ValueError(
+        f"mask_output must be 'float32', 'bfloat16' or 'class_map'; "
+        f"got {mask_output!r}"
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _serving_programs(
+    module: SsdSegModel,
+    stds: Tuple[float, float, float, float],
+    use_segmentation_suppression: bool,
+    max_boxes_per_class: int,
+    max_boxes_per_sample: int,
+    compute_dtype_str: str,
+    mask_output: str,
+):
+    """Shared jitted serving programs, cached on the STATIC configuration.
+
+    The NMS thresholds and anchor constants are traced ARGUMENTS, so every
+    `InferenceModel` over the same architecture + static NMS budget shares
+    ONE compiled executable across operating points — the reference (and a
+    naive port) rebuilds and recompiles the whole graph per grid point
+    during NMS hypertuning (reference notebook 03 cell 21: 9 combos).
+    """
+    from ssdseglib_tpu.ops.encoding import decode_predictions_to_corners_yx
+
+    compute_dtype = jnp.dtype(compute_dtype_str)
+    seg_suppression = SegmentationSuppression(
+        num_classes=4  # reference hardcodes depth=4 (layers.py:204)
+    )
+    nms_core = NonMaximumSuppression(
+        max_number_of_boxes_per_class=max_boxes_per_class,
+        max_number_of_boxes_per_sample=max_boxes_per_sample,
+        boxes_iou_threshold=0.0,  # overridden per call
+        labels_probability_threshold=0.0,
+        suppress_background_boxes=False,
+    )
+
+    def pre_nms(variables, anchors_centroids, images):
+        out = module.apply(variables, images.astype(compute_dtype), train=False)
+        mask = out["output-mask"].astype(jnp.float32)
+        labels = out["output-labels"].astype(jnp.float32)
+        if use_segmentation_suppression:
+            labels = seg_suppression(mask, labels)
+        boxes_yx = decode_predictions_to_corners_yx(
+            out["output-boxes"].astype(jnp.float32), anchors_centroids, stds
+        )
+        return mask, labels, boxes_yx
+
+    def forward(variables, anchors_centroids, images, iou_thr, score_thr):
+        mask, labels, boxes_yx = pre_nms(variables, anchors_centroids, images)
+        detections = nms_core(
+            boxes_yx, labels, iou_threshold=iou_thr, score_threshold=score_thr
+        )
+        return _format_mask(mask, mask_output), detections
+
+    return jax.jit(forward), jax.jit(pre_nms)
+
+
 class InferenceModel:
     """Jitted end-to-end inference: forward -> decode -> gate -> NMS.
 
@@ -209,6 +280,8 @@ class InferenceModel:
         compute_dtype: str = "float32",
         mesh=None,
         fused_backbone: bool = False,
+        mask_output: str = "float32",
+        fused_max_batch: int = 16,
     ) -> None:
         """compute_dtype: 'bfloat16' selects the serving fast path — params
         and conv compute in bf16 on the MXU (+~25% throughput on v5e, mask
@@ -222,12 +295,25 @@ class InferenceModel:
 
         fused_backbone: run the MobileNetV2 backbone through the fused
         Pallas MBConv path (BN folded, expanded tensors VMEM-resident —
-        models/fused_inference.py)."""
+        models/fused_inference.py).
+
+        mask_output: 'float32' (reference-parity probabilities, default),
+        'bfloat16' (half-size probability output), or 'class_map' (uint8
+        argmax map) — see `_format_mask`.
+
+        fused_max_batch: largest batch served through the fused Pallas
+        path.  This container's remote-compile helper crashes compiling
+        the full fused graph above batch 16 (environmental — see
+        docs/PERFORMANCE.md "batch > 16 root cause"); larger batches
+        auto-fall back to the plain-XLA backbone with a one-time warning
+        instead of crashing."""
+        _format_mask(jnp.zeros((1, 1, 1, 2)), mask_output)  # validate early
         self.module = module
         variables_f32 = variables  # keep full precision for BN folding
         self.variables = variables
         self._suppress_background = suppress_background_boxes
         self._compute_dtype = jnp.dtype(compute_dtype)
+        self._mask_output = mask_output
         self.mesh = mesh
         if self._compute_dtype != jnp.float32:
             self.variables = jax.tree_util.tree_map(
@@ -241,21 +327,12 @@ class InferenceModel:
             from ssdseglib_tpu.parallel import mesh as mesh_lib
 
             self.variables = mesh_lib.replicate(mesh, self.variables)
-        seg_suppression = SegmentationSuppression(
-            num_classes=4  # reference hardcodes depth=4 (layers.py:204)
-        )
 
-        # NMS minus the host-side background filter so everything jits
-        nms_core = NonMaximumSuppression(
-            max_number_of_boxes_per_class=nms.config.max_boxes_per_class,
-            max_number_of_boxes_per_sample=nms.config.max_boxes_per_sample,
-            boxes_iou_threshold=nms.config.iou_threshold,
-            labels_probability_threshold=nms.config.score_threshold,
-            suppress_background_boxes=False,
-            max_candidates_per_class=nms.config.max_candidates_per_class,
-        )
-
-        compute_dtype = self._compute_dtype
+        # runtime-tunable NMS operating point: device scalars fed to the
+        # jitted program (see set_nms_operating_point)
+        self._iou_threshold = jnp.float32(nms.config.iou_threshold)
+        self._score_threshold = jnp.float32(nms.config.score_threshold)
+        self._anchors_centroids = decode.anchors_centroids
 
         fused_forward = None
         self._fused_forward = None
@@ -268,27 +345,127 @@ class InferenceModel:
             )
             self._fused_forward = fused_forward
 
-        def pre_nms(variables, images):
-            if fused_forward is not None:
-                out = fused_forward(images)
-            else:
-                out = module.apply(
-                    variables, images.astype(compute_dtype), train=False
+        if fused_forward is not None:
+            # folded weights are baked into this instance's program; keep
+            # per-instance jit (thresholds still traced args)
+            seg_suppression = SegmentationSuppression(num_classes=4)
+            nms_core = NonMaximumSuppression(
+                max_number_of_boxes_per_class=nms.config.max_boxes_per_class,
+                max_number_of_boxes_per_sample=nms.config.max_boxes_per_sample,
+                boxes_iou_threshold=0.0,
+                labels_probability_threshold=0.0,
+                suppress_background_boxes=False,
+            )
+            stds = decode.standard_deviations
+
+            def pre_nms(variables, anchors_centroids, images):
+                from ssdseglib_tpu.ops.encoding import (
+                    decode_predictions_to_corners_yx,
                 )
-            mask = out["output-mask"].astype(jnp.float32)
-            labels = out["output-labels"].astype(jnp.float32)
-            if use_segmentation_suppression:
-                labels = seg_suppression(mask, labels)
-            boxes_yx = decode(out["output-boxes"].astype(jnp.float32))
-            return mask, labels, boxes_yx
 
-        def forward(variables, images):
-            mask, labels, boxes_yx = pre_nms(variables, images)
-            detections = nms_core(boxes_yx, labels)
-            return mask, detections
+                out = fused_forward(images)
+                mask = out["output-mask"].astype(jnp.float32)
+                labels = out["output-labels"].astype(jnp.float32)
+                if use_segmentation_suppression:
+                    labels = seg_suppression(mask, labels)
+                boxes_yx = decode_predictions_to_corners_yx(
+                    out["output-boxes"].astype(jnp.float32),
+                    anchors_centroids,
+                    stds,
+                )
+                return mask, labels, boxes_yx
 
-        self._forward = jax.jit(forward)
-        self._pre_nms_fn = jax.jit(pre_nms)
+            def forward(variables, anchors_centroids, images, iou_thr, score_thr):
+                mask, labels, boxes_yx = pre_nms(
+                    variables, anchors_centroids, images
+                )
+                detections = nms_core(
+                    boxes_yx, labels,
+                    iou_threshold=iou_thr, score_threshold=score_thr,
+                )
+                return _format_mask(mask, mask_output), detections
+
+            self._forward_program = jax.jit(forward)
+            self._pre_nms_program = jax.jit(pre_nms)
+            # plain-XLA programs for batches beyond the fused path's
+            # validated ceiling (auto-fallback, see fused_max_batch)
+            self._fused_max_batch = int(fused_max_batch)
+            self._fallback_programs = _serving_programs(
+                module,
+                decode.standard_deviations,
+                use_segmentation_suppression,
+                nms.config.max_boxes_per_class,
+                nms.config.max_boxes_per_sample,
+                str(self._compute_dtype),
+                mask_output,
+            )
+            self._fused_fallback_warned = False
+        else:
+            self._fused_max_batch = None
+            self._fallback_programs = None
+            self._forward_program, self._pre_nms_program = _serving_programs(
+                module,
+                decode.standard_deviations,
+                use_segmentation_suppression,
+                nms.config.max_boxes_per_class,
+                nms.config.max_boxes_per_sample,
+                str(self._compute_dtype),
+                mask_output,
+            )
+
+    def set_nms_operating_point(
+        self,
+        boxes_iou_threshold: Optional[float] = None,
+        labels_probability_threshold: Optional[float] = None,
+    ) -> None:
+        """Change the NMS thresholds WITHOUT recompiling — they are traced
+        inputs of the serving program.  Grid searches over operating points
+        (reference notebook 03 cell 21) run against one compiled
+        executable."""
+        if boxes_iou_threshold is not None:
+            self._iou_threshold = jnp.float32(boxes_iou_threshold)
+        if labels_probability_threshold is not None:
+            self._score_threshold = jnp.float32(labels_probability_threshold)
+
+    def _fused_batch_ok(self, images) -> bool:
+        if self._fused_forward is None or self._fused_max_batch is None:
+            return True
+        if images.shape[0] <= self._fused_max_batch:
+            return True
+        if not self._fused_fallback_warned:
+            import warnings
+
+            warnings.warn(
+                f"fused_backbone serving is validated up to batch "
+                f"{self._fused_max_batch} in this environment; batch "
+                f"{images.shape[0]} falls back to the plain-XLA backbone "
+                f"(docs/PERFORMANCE.md 'batch > 16 root cause')",
+                stacklevel=3,
+            )
+            self._fused_fallback_warned = True
+        return False
+
+    def _forward(self, variables, images):
+        program = (
+            self._forward_program
+            if self._fused_batch_ok(images)
+            else self._fallback_programs[0]
+        )
+        return program(
+            variables,
+            self._anchors_centroids,
+            images,
+            self._iou_threshold,
+            self._score_threshold,
+        )
+
+    def _pre_nms_fn(self, variables, images):
+        program = (
+            self._pre_nms_program
+            if self._fused_batch_ok(images)
+            else self._fallback_programs[1]
+        )
+        return program(variables, self._anchors_centroids, images)
 
     def update_variables(self, variables) -> None:
         """Swap in new weights without recompiling the serving program
@@ -330,9 +507,14 @@ class InferenceModel:
 
     def predict(self, images):
         """NumPy-in/NumPy-out convenience, applying the optional host-side
-        background-box filter (reference layers.py:165-166)."""
+        background-box filter (reference layers.py:165-166).  With
+        mask_output='bfloat16' the mask comes back as float32 numpy (the
+        on-device/transfer savings are already realized); 'class_map'
+        returns the uint8 map."""
         mask, det = self._forward(self.variables, self._prepare(images))
         mask, det = np.asarray(mask), np.asarray(det)
+        if mask.dtype != np.uint8 and mask.dtype != np.float32:
+            mask = mask.astype(np.float32)
         if self._suppress_background:
             det = det[det[..., 0] > 0.0]
         return mask, det
@@ -401,6 +583,7 @@ class _BuilderBase:
         compute_dtype: str = "float32",
         mesh=None,
         fused_backbone: bool = False,
+        mask_output: str = "float32",
     ) -> InferenceModel:
         """Args:
             model_trained: the trained variables pytree (params +
@@ -408,6 +591,8 @@ class _BuilderBase:
             compute_dtype: 'bfloat16' for the MXU serving fast path.
             mesh: optional Mesh for multi-chip batch-parallel serving.
             fused_backbone: fused Pallas MBConv backbone (mobilenetv2).
+            mask_output: 'float32' | 'bfloat16' | 'class_map' serving mask
+                format (InferenceModel docstring).
         """
         if isinstance(model_trained, tuple):
             trainable, variables = model_trained
@@ -439,6 +624,7 @@ class _BuilderBase:
             compute_dtype=compute_dtype,
             mesh=mesh,
             fused_backbone=fused_backbone,
+            mask_output=mask_output,
         )
 
 

@@ -91,6 +91,17 @@ def mobilenetv2_features_fused(
             folded[f"backbone-block{block}-project"],
         )
 
+    if s2d_stem not in (False, "xla", "pallas"):
+        # reject typos like 'palas' / True instead of silently falling
+        # through to a different variant (ADVICE r2)
+        raise ValueError(
+            f"s2d_stem must be False, 'xla' or 'pallas'; got {s2d_stem!r}"
+        )
+    if s2d_stem == "pallas" and s2d_row_tile % 4 != 0:
+        raise ValueError(
+            f"s2d_row_tile must be a multiple of 4 (pallas tail-block "
+            f"alignment), got {s2d_row_tile}"
+        )
     use_s2d = s2d_stem and _s2d_stem_applicable(
         x, s2d_row_tile if s2d_stem == "pallas" else 1
     )

@@ -190,6 +190,8 @@ def combined_nms(
     cfg: NmsConfig,
     use_pallas: bool = None,
     method: str = "exact",
+    iou_threshold=None,
+    score_threshold=None,
 ) -> Dict[str, jnp.ndarray]:
     """Combined per-class NMS with shared boxes.
 
@@ -203,6 +205,13 @@ def combined_nms(
         method: "exact" (default, iterative argmax over all N candidates) or
             "topk" (top-K prefilter + suppression scan; `use_pallas` selects
             the Pallas TPU kernel for the scan, default by backend)
+        iou_threshold / score_threshold: optional overrides of the config
+            values.  May be TRACED jnp scalars — the NMS math is
+            elementwise in both, so one compiled program serves every
+            operating point (the reference rebuilds + re-runs the whole
+            Keras graph per grid point, notebook 03 cell 21).  A traced
+            iou_threshold forces the XLA scan in the "topk" method (the
+            Pallas kernel wants a static threshold).
     Returns:
         dict with
             boxes: (B, T, 4) kept boxes, (ymin, xmin, ymax, xmax), zero padded
@@ -213,6 +222,10 @@ def combined_nms(
     """
     B, N, C = scores.shape
     T = cfg.max_boxes_per_sample
+    if iou_threshold is None:
+        iou_threshold = cfg.iou_threshold
+    if score_threshold is None:
+        score_threshold = cfg.score_threshold
     scores_cn = jnp.swapaxes(scores, 1, 2)  # (B, C, N)
 
     if method == "exact":
@@ -220,8 +233,8 @@ def combined_nms(
         sel_idx, sel_scores = _exact_greedy_nms(
             boxes_yx,
             scores_cn,
-            cfg.iou_threshold,
-            cfg.score_threshold,
+            iou_threshold,
+            score_threshold,
             M,
         )
         flat_scores = sel_scores.reshape(B, C * M)
@@ -238,20 +251,22 @@ def combined_nms(
         cand_boxes = jnp.take_along_axis(
             boxes_yx[:, None, :, :], cand_idx[..., None], axis=2
         )  # (B, C, K, 4)
-        cand_valid = cand_scores > cfg.score_threshold
+        cand_valid = cand_scores > score_threshold
 
         iou = _pairwise_iou_yx(cand_boxes)  # (B, C, K, K)
         if use_pallas is None:
             use_pallas = _use_pallas_default()
+        if use_pallas and not isinstance(iou_threshold, (int, float)):
+            use_pallas = False  # Pallas kernel needs a static threshold
         if use_pallas:
             from ssdseglib_tpu.ops.nms_pallas import greedy_select_pallas
 
             keep = greedy_select_pallas(
-                iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+                iou, cand_valid, float(iou_threshold), cfg.max_boxes_per_class
             )
         else:
             keep = _greedy_select(
-                iou, cand_valid, cfg.iou_threshold, cfg.max_boxes_per_class
+                iou, cand_valid, iou_threshold, cfg.max_boxes_per_class
             )
 
         # combine across classes: class-major flatten, stable top-T by score

@@ -250,6 +250,10 @@ def fused_s2d_stem_block1(
     """
     B, H, W, C = images.shape
     assert C == 3 and B % PACK == 0 and W % 4 == 0
+    # the tail BlockSpec index (body_rows // 8) * (t + 1) is only
+    # 8-row-aligned when 2*row_tile is a multiple of 8; other tiles would
+    # silently read the wrong tail rows (ADVICE r2)
+    assert row_tile % 4 == 0, f"row_tile must be a multiple of 4, got {row_tile}"
     h2, w2dim = H // 2, W // 2
     to = row_tile
     assert h2 % (2 * to) == 0, (H, row_tile)

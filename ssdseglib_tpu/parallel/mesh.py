@@ -31,7 +31,7 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
+def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis, replicate the rest."""
     return NamedSharding(mesh, P(BATCH_AXIS))
 
@@ -42,11 +42,24 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, tree):
     """Device-put a pytree of batch-leading arrays with the batch axis
-    sharded across the mesh."""
+    sharded across the mesh.
+
+    Raises a clear ValueError when the batch is not divisible by the mesh
+    size (XLA's own error is an opaque sharding failure).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
+    n = mesh.shape[BATCH_AXIS]
+
+    def put(x):
+        if hasattr(x, "shape") and (x.ndim == 0 or x.shape[0] % n != 0):
+            raise ValueError(
+                f"batch axis of shape {getattr(x, 'shape', ())} is not "
+                f"divisible by the {n}-device mesh '{BATCH_AXIS}' axis; "
+                f"pad the batch or use a divisible batch size"
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):

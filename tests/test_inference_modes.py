@@ -93,3 +93,91 @@ def test_read_image_mirror(tmp_path):
     out = read_image(path)
     assert out.dtype == np.float32
     np.testing.assert_array_equal(out.astype(np.uint8), arr)
+
+
+def test_mask_output_formats():
+    """mask_output='bfloat16'/'class_map' match the f32 probabilities
+    (VERDICT r2 item 2: kill the f32 mask materialization)."""
+    import jax.numpy as jnp
+
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = _builder(n_boxes)
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+    kwargs = dict(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=False,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32)
+
+    inf_f32 = builder.get_model_for_inference(**kwargs)
+    inf_bf16 = builder.get_model_for_inference(mask_output="bfloat16", **kwargs)
+    inf_map = builder.get_model_for_inference(mask_output="class_map", **kwargs)
+
+    mask32, det32 = inf_f32.predict(images)
+    mask16, det16 = inf_bf16.predict(images)
+    maskm, detm = inf_map.predict(images)
+
+    assert mask16.dtype == np.float32  # predict up-casts for consumers
+    np.testing.assert_allclose(mask16, mask32, atol=4e-3)
+    assert maskm.dtype == np.uint8 and maskm.shape == (2, 96, 128)
+    np.testing.assert_array_equal(maskm, np.argmax(mask32, axis=-1))
+    # detections identical (mask format does not touch the det path)
+    np.testing.assert_allclose(det16, det32, atol=0)
+    np.testing.assert_allclose(detm, det32, atol=0)
+
+    # raw device output keeps the requested dtype
+    raw_mask, _ = inf_bf16(images)
+    assert raw_mask.dtype == jnp.bfloat16
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mask_output"):
+        builder.get_model_for_inference(mask_output="float64", **kwargs)
+
+
+def test_runtime_tunable_nms_thresholds():
+    """set_nms_operating_point reproduces a freshly-built model at the new
+    thresholds without recompiling; instances over the same architecture
+    share one serving program."""
+    from ssdseglib_tpu.models.builder import _serving_programs
+
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = _builder(n_boxes)
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+    base = dict(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+    )
+    rng = np.random.default_rng(2)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32)
+
+    inf_a = builder.get_model_for_inference(
+        boxes_iou_threshold=0.5, labels_probability_threshold=0.3, **base
+    )
+    inf_b = builder.get_model_for_inference(
+        boxes_iou_threshold=0.1, labels_probability_threshold=0.6, **base
+    )
+    # both instances resolved to the SAME cached serving program
+    assert inf_a._forward_program is inf_b._forward_program
+
+    _, det_b = inf_b.predict(images)
+    inf_a.set_nms_operating_point(
+        boxes_iou_threshold=0.1, labels_probability_threshold=0.6
+    )
+    _, det_a = inf_a.predict(images)
+    np.testing.assert_allclose(det_a, det_b, atol=0)

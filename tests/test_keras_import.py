@@ -92,26 +92,10 @@ def test_activation_parity_with_keras(reference_model, flax_setup):
 
 def _write_tf213_keras_zip(path, weights_by_layer):
     """Package {layer: [arrays]} into the TF-2.13 `.keras` zip layout the
-    reference checkpoint was saved with (reference notebook 03 cell 17):
-    a zip holding config.json / metadata.json / model.weights.h5, weights
-    keyed `_layer_checkpoint_dependencies/<layer>/vars/<i>`."""
-    import io
-    import json
-    import zipfile
+    reference checkpoint was saved with (reference notebook 03 cell 17)."""
+    from ssdseglib_tpu.keras_import import save_keras_file
 
-    import h5py
-
-    buf = io.BytesIO()
-    with h5py.File(buf, "w") as h5:
-        root = h5.create_group("_layer_checkpoint_dependencies")
-        for layer, arrays in weights_by_layer.items():
-            g = root.create_group(layer).create_group("vars")
-            for i, arr in enumerate(arrays):
-                g.create_dataset(str(i), data=np.asarray(arr))
-    with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("metadata.json", json.dumps({"keras_version": "2.13.1"}))
-        zf.writestr("config.json", json.dumps({"class_name": "Functional"}))
-        zf.writestr("model.weights.h5", buf.getvalue())
+    save_keras_file(path, weights_by_layer)
 
 
 def test_keras_zip_file_import_parity(reference_model, flax_setup, tmp_path):

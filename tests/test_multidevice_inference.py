@@ -47,3 +47,17 @@ def test_mesh_inference_matches_single_device():
 
     np.testing.assert_allclose(mask8, mask1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(det8, det1, rtol=1e-3, atol=1e-4)
+
+
+def test_shard_batch_divisibility_error():
+    """Non-divisible batch -> a clear ValueError, not an opaque XLA
+    sharding failure (VERDICT r2 weak #7)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from ssdseglib_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="not.*divisible|divisible"):
+        mesh_lib.shard_batch(mesh, np.zeros((3, 4, 4, 3), np.float32))

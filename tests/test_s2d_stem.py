@@ -113,3 +113,24 @@ def test_s2d_stem_block1_bf16():
     assert np.quantile(err_kernel, 0.999) <= max(
         np.quantile(err_xla, 0.999) * 1.5, 0.05
     )
+
+
+def test_s2d_stem_value_validation():
+    """Typos like 'palas' and misaligned row tiles fail loudly
+    (ADVICE r2)."""
+    import numpy as np
+    import pytest
+
+    from ssdseglib_tpu.models import fused_inference as fi
+    from ssdseglib_tpu.ops import s2d_stem as s2d
+
+    folded = {}
+    x = np.zeros((4, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="s2d_stem"):
+        fi.mobilenetv2_features_fused(folded, x, s2d_stem="palas")
+    with pytest.raises(ValueError, match="s2d_row_tile"):
+        fi.mobilenetv2_features_fused(
+            folded, x, s2d_stem="pallas", s2d_row_tile=3
+        )
+    with pytest.raises(AssertionError, match="row_tile"):
+        s2d.fused_s2d_stem_block1(x, folded, row_tile=3)
