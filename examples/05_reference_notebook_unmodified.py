@@ -1,23 +1,24 @@
-"""Execute the REFERENCE training notebook's code cells VERBATIM against
-the JAX/TPU backend through the `ssdseglib` compat package.
+"""Execute the REFERENCE notebooks' code cells VERBATIM against the
+JAX/TPU backend through the `ssdseglib` compat package.
 
 This is the BASELINE.json north-star check ("the tutorial notebooks run
-unmodified against the new backend"): the code cells of
-`/root/reference/03-multi-task-network-ssdlite-deeplabv3plus-training.ipynb`
-are extracted and exec'd unmodified, in order, in one namespace.  The only
-things this runner controls are *outside* the cells:
+unmodified against the new backend"): the code cells of the reference
+notebooks (01 SSD framework, 03 training, 99 class imbalance — 02 is
+absent from the mount, reference .MISSING_LARGE_BLOBS:1) are extracted
+and exec'd unmodified, in order, in one namespace.  The only things this
+runner controls are *outside* the cells:
 
 - the working directory: the reference images are proprietary and absent
   (reference data/.gitignore:1-5), so `data/*.json` point at synthetic
   480x640 scenes (ssdseglib_tpu.data.synthetic) written before cell 1 runs
 - optionally `SSDSEGLIB_MAX_EPOCHS` (a documented compat-facade knob) to
-  bound the 105-epoch fit cell for quick smoke runs; by default the fit
-  runs the full verbatim 105 epochs
+  bound notebook 03's 105-epoch fit cell for quick smoke runs; by default
+  the fit runs the full verbatim 105 epochs
 - MPLBACKEND=Agg so the plotting cells run headless
 
 Usage:
     python examples/05_reference_notebook_unmodified.py \
-        [--max-epochs N] [--workdir DIR] [--cpu]
+        [--notebook {01,03,99,all}] [--max-epochs N] [--workdir DIR] [--cpu]
 """
 
 from __future__ import annotations
@@ -29,9 +30,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NOTEBOOK = (
-    "/root/reference/03-multi-task-network-ssdlite-deeplabv3plus-training.ipynb"
-)
+NOTEBOOKS = {
+    "01": "/root/reference/01-ssd-framework-single-shot-detector-for-object-detection.ipynb",
+    "03": "/root/reference/03-multi-task-network-ssdlite-deeplabv3plus-training.ipynb",
+    "99": "/root/reference/99-check-dataset-class-imbalance.ipynb",
+}
 
 
 def synthesize_data(workdir: str) -> None:
@@ -66,8 +69,28 @@ def synthesize_data(workdir: str) -> None:
     write_split("test", 8, seed=55)
 
 
+def run_notebook(nb: str, namespace: dict) -> dict:
+    """exec every code cell of reference notebook `nb` in order; returns
+    the resulting namespace for sanity assertions."""
+    path = NOTEBOOKS[nb]
+    cells = [
+        "".join(c["source"])
+        for c in json.load(open(path))["cells"]
+        if c["cell_type"] == "code"
+    ]
+    print(f"[runner] {len(cells)} code cells from {path}")
+    for i, src in enumerate(cells):
+        t0 = time.perf_counter()
+        print(f"\n[runner] ===== nb{nb} code cell {i} =====")
+        exec(compile(src, f"<notebook{nb}-cell{i}>", "exec"), namespace)
+        print(f"[runner] cell {i} done in {time.perf_counter() - t0:.1f}s")
+    return namespace
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--notebook", choices=[*NOTEBOOKS, "all"], default="03",
+                        help="which reference notebook to execute verbatim")
     parser.add_argument("--max-epochs", type=int, default=None,
                         help="cap the fit cell via SSDSEGLIB_MAX_EPOCHS "
                         "(default: run the verbatim 105 epochs)")
@@ -94,7 +117,7 @@ def main() -> None:
 
         tf.keras.saving = keras.saving
 
-    workdir = args.workdir or f"/tmp/nb03_verbatim_{os.getpid()}"
+    workdir = args.workdir or f"/tmp/nb_verbatim_{os.getpid()}"
     os.makedirs(workdir, exist_ok=True)
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
@@ -102,33 +125,36 @@ def main() -> None:
     os.chdir(workdir)
     print(f"[runner] workdir {workdir}")
 
-    cells = [
-        "".join(c["source"])
-        for c in json.load(open(NOTEBOOK))["cells"]
-        if c["cell_type"] == "code"
-    ]
-    print(f"[runner] {len(cells)} code cells from {NOTEBOOK}")
-
-    namespace: dict = {"__name__": "__main__"}
+    todo = list(NOTEBOOKS) if args.notebook == "all" else [args.notebook]
     t_total = time.perf_counter()
-    for i, src in enumerate(cells):
-        t0 = time.perf_counter()
-        print(f"\n[runner] ===== code cell {i} =====")
-        exec(compile(src, f"<notebook03-cell{i}>", "exec"), namespace)
-        print(f"[runner] cell {i} done in {time.perf_counter() - t0:.1f}s")
-
-    # sanity over the namespace the verbatim cells produced
-    history = namespace["history"]
-    assert len(history.history["loss"]) > 0
-    iou_per_class = namespace["iou_per_class"]
-    ap = namespace["average_precision_per_class"]
-    print(
-        f"\n[runner] VERBATIM_NOTEBOOK_OK epochs={len(history.history['loss'])} "
-        f"final_loss={history.history['loss'][-1]:.4f} "
-        f"mIoU={sum(iou_per_class.values()) / len(iou_per_class):.4f} "
-        f"mAP={sum(ap.values()) / len(ap):.4f} "
-        f"total={time.perf_counter() - t_total:.0f}s"
-    )
+    for nb in todo:
+        ns = run_notebook(nb, {"__name__": "__main__"})
+        # sanity over the namespace the verbatim cells produced
+        if nb == "01":
+            # cell 2/3 iterate the per-feature-map getters; 4 grids plotted
+            dbb = ns["default_bounding_boxes"]
+            assert len(dbb.feature_maps_shapes) == 4
+            assert len(ns["path_files_images_train"]) > 0
+            print(f"\n[runner] VERBATIM_NOTEBOOK_01_OK "
+                  f"samples={len(ns['path_files_images_train'])} "
+                  f"grids={len(dbb.feature_maps_shapes)}")
+        elif nb == "03":
+            history = ns["history"]
+            assert len(history.history["loss"]) > 0
+            iou_per_class = ns["iou_per_class"]
+            ap = ns["average_precision_per_class"]
+            print(
+                f"\n[runner] VERBATIM_NOTEBOOK_OK "
+                f"epochs={len(history.history['loss'])} "
+                f"final_loss={history.history['loss'][-1]:.4f} "
+                f"mIoU={sum(iou_per_class.values()) / len(iou_per_class):.4f} "
+                f"mAP={sum(ap.values()) / len(ap):.4f}"
+            )
+        elif nb == "99":
+            assert sum(ns["instances_per_class"].values()) > 0
+            print(f"\n[runner] VERBATIM_NOTEBOOK_99_OK "
+                  f"instances={dict(ns['instances_per_class'])}")
+    print(f"[runner] total={time.perf_counter() - t_total:.0f}s")
 
 
 if __name__ == "__main__":

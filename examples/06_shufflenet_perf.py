@@ -70,6 +70,7 @@ def main() -> None:
             variables = trainable.init(jax.random.key(0))
     except RuntimeError:
         variables = trainable.init(jax.random.key(0))
+    variables = jax.device_put(jax.device_get(variables))
     n_params = sum(
         int(np.prod(p.shape))
         for p in jax.tree_util.tree_leaves(variables["params"])
@@ -140,7 +141,13 @@ def main() -> None:
                 compute_dtype="bfloat16", adam_mu_dtype="bfloat16",
             ),
         )
-        state = trainer.init_state(jax.random.key(0))
+        # reuse the CPU-initialized variables (init_state would re-init on
+        # TPU: an extra minutes-long remote compile for zero reuse)
+        from ssdseglib_tpu.train import TrainState
+
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, variables), trainer.tx
+        )
         step_fn = trainer.fused_train_step_fn(loader.transform)
         raw = [
             (rng, tuple(jax.device_put(a) for a in b))

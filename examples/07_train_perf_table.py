@@ -36,6 +36,18 @@ from ssdseglib_tpu.models.builder import SsdSegModel, TrainableModel
 from ssdseglib_tpu.train import Trainer
 
 
+def init_variables_cpu(model_cfg):
+    """Init once on CPU (the init program's remote TPU compile costs
+    minutes for zero reuse) and share across every config row."""
+    model = TrainableModel(module=SsdSegModel(cfg=model_cfg), cfg=model_cfg)
+    try:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = model.init(jax.random.key(0))
+    except RuntimeError:
+        variables = model.init(jax.random.key(0))
+    return jax.device_put(jax.device_get(variables))
+
+
 def measure_config(
     name: str,
     train_cfg: TrainConfig,
@@ -45,10 +57,22 @@ def measure_config(
     batch: int,
     steps: int,
     fused_transform: bool,
+    variables,
+    depthwise_impl: str = "conv",
 ) -> dict:
+    import jax.numpy as jnp
+
+    from ssdseglib_tpu.models import blocks
+    from ssdseglib_tpu.train import TrainState
+
+    blocks.set_depthwise_impl(depthwise_impl)
     model = TrainableModel(module=SsdSegModel(cfg=model_cfg), cfg=model_cfg)
     trainer = Trainer(model=model, anchors=anchors, config=train_cfg)
-    state = trainer.init_state(jax.random.key(0))
+    # fresh buffers per row: the train step donates its state, which would
+    # invalidate the shared variables for the following rows
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, variables), trainer.tx
+    )
 
     image_shape = enc_cfg.image_shape
     loader = TrainDataLoader(
@@ -140,45 +164,36 @@ def main() -> None:
     anchors = Anchors.from_config(anchors_cfg, enc_cfg.image_shape)
 
     base = TrainConfig(batch_size=args.batch, learning_rate=1e-4)
+    bf16 = TrainConfig(batch_size=args.batch, compute_dtype="bfloat16")
+    bf16_mu = TrainConfig(
+        batch_size=args.batch, compute_dtype="bfloat16",
+        adam_mu_dtype="bfloat16",
+    )
+    bf16_mu_remat = TrainConfig(
+        batch_size=args.batch, compute_dtype="bfloat16",
+        adam_mu_dtype="bfloat16", remat=True,
+    )
     rows = [
-        ("f32", base, False),
-        ("bf16", TrainConfig(batch_size=args.batch, compute_dtype="bfloat16"), False),
-        (
-            "bf16 + mu-bf16",
-            TrainConfig(
-                batch_size=args.batch, compute_dtype="bfloat16",
-                adam_mu_dtype="bfloat16",
-            ),
-            False,
-        ),
-        (
-            "bf16 + mu-bf16 + remat",
-            TrainConfig(
-                batch_size=args.batch, compute_dtype="bfloat16",
-                adam_mu_dtype="bfloat16", remat=True,
-            ),
-            False,
-        ),
-        (
-            "bf16 + mu-bf16 (fused xform)",
-            TrainConfig(
-                batch_size=args.batch, compute_dtype="bfloat16",
-                adam_mu_dtype="bfloat16",
-            ),
-            True,
-        ),
+        ("f32", base, False, "conv"),
+        ("bf16", bf16, False, "conv"),
+        ("bf16 + mu-bf16", bf16_mu, False, "conv"),
+        ("bf16 + mu-bf16 + remat", bf16_mu_remat, False, "conv"),
+        ("bf16 + mu-bf16 (fused xform)", bf16_mu, True, "conv"),
+        ("bf16 + mu-bf16 (dw-shift)", bf16_mu, False, "shift"),
+        ("bf16 + mu (fused, dw-shift)", bf16_mu, True, "shift"),
     ]
     print(
         f"train-step sweep: batch {args.batch}, {args.steps} timed steps, "
         f"image {enc_cfg.image_shape}, backend {jax.default_backend()}",
         flush=True,
     )
+    variables = init_variables_cpu(model_cfg)
     results = [
         measure_config(
             name, cfg, model_cfg, anchors, enc_cfg, args.batch, args.steps,
-            fused,
+            fused, variables, impl,
         )
-        for name, cfg, fused in rows
+        for name, cfg, fused, impl in rows
     ]
     best = min(results, key=lambda r: r["ms_per_step"])
     print(f"\nbest: {best['name']} at {best['ms_per_step']:.1f} ms/step "

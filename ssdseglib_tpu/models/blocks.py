@@ -29,9 +29,78 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.99
 BN_EPSILON = 1e-3
 
+# Depthwise convolution lowering: 'conv' = lax.conv_general_dilated with
+# feature_group_count (XLA convolution unit), 'shift' = K*K shifted
+# multiply-adds (ops/depthwise.py — VPU loop fusions). A/B on v5e showed
+# 'shift' LOSES decisively for training (157 vs 59 ms/step, examples/07
+# round 3) — kept as a parity-tested opt-in negative result, same policy
+# as the round-2 s2d stem study (docs/PERFORMANCE.md).
+# Trace-time switch: set before building/jitting a model.
+DEPTHWISE_IMPL = "conv"
+
+
+def set_depthwise_impl(impl: str) -> None:
+    global DEPTHWISE_IMPL
+    if impl not in ("conv", "shift"):
+        raise ValueError(f"depthwise impl must be 'conv' or 'shift', got {impl!r}")
+    DEPTHWISE_IMPL = impl
+
 
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class _ShiftDepthwiseConv(nn.Module):
+    """Drop-in for `nn.Conv(feature_group_count=C)`: IDENTICAL parameter
+    name/shape ('kernel', (kh, kw, 1, C)) so checkpoints, the Keras
+    importer and golden tests are impl-agnostic."""
+
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    dilation: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ssdseglib_tpu.ops.depthwise import depthwise_conv_shift
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, 1, x.shape[-1]),
+            jnp.float32,
+        )
+        return depthwise_conv_shift(
+            x, kernel.astype(x.dtype), self.strides, self.dilation
+        )
+
+
+def depthwise_conv(
+    x: jnp.ndarray,
+    kernel_size,
+    strides,
+    dilation,
+    name: str,
+) -> jnp.ndarray:
+    """Depthwise conv through the selected lowering (DEPTHWISE_IMPL)."""
+    if DEPTHWISE_IMPL == "shift":
+        return _ShiftDepthwiseConv(
+            kernel_size=_pair(kernel_size),
+            strides=_pair(strides),
+            dilation=_pair(dilation),
+            name=name,
+        )(x)
+    channels = x.shape[-1]
+    return nn.Conv(
+        channels,
+        _pair(kernel_size),
+        strides=_pair(strides),
+        kernel_dilation=_pair(dilation),
+        padding="SAME",
+        feature_group_count=channels,
+        use_bias=False,
+        name=name,
+    )(x)
 
 
 def apply_relu(x: jnp.ndarray, relu_max: Optional[float]) -> jnp.ndarray:
@@ -85,17 +154,9 @@ class DepthwiseConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        channels = x.shape[-1]
-        x = nn.Conv(
-            channels,
-            _pair(self.kernel_size),
-            strides=_pair(self.strides),
-            kernel_dilation=_pair(self.dilation),
-            padding="SAME",
-            feature_group_count=channels,
-            use_bias=False,
-            name="conv",
-        )(x)
+        x = depthwise_conv(
+            x, self.kernel_size, self.strides, self.dilation, name="conv"
+        )
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -121,17 +182,9 @@ class SepConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        channels = x.shape[-1]
-        x = nn.Conv(
-            channels,
-            _pair(self.kernel_size),
-            strides=_pair(self.strides),
-            kernel_dilation=_pair(self.dilation),
-            padding="SAME",
-            feature_group_count=channels,
-            use_bias=False,
-            name="depthwise",
-        )(x)
+        x = depthwise_conv(
+            x, self.kernel_size, self.strides, self.dilation, name="depthwise"
+        )
         x = nn.Conv(
             self.features, (1, 1), padding="SAME", use_bias=False, name="pointwise"
         )(x)

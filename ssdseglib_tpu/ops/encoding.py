@@ -82,14 +82,21 @@ def match_anchors(
 
     # gt-side claims: each valid gt with max IoU > 0 claims its argmax anchor;
     # highest gt index wins on collision (matches reference sequential scatter
-    # order, datacoder.py:230-231 + 286-298)
+    # order, datacoder.py:230-231 + 286-298).
+    # Formulated as a masked reduction over the tiny G axis instead of a
+    # scatter: TPU lowers small dynamic scatters poorly (measured 0.8 ms per
+    # fused train step at B=16 — examples/08_profile.py round 3).
     best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (G,)  ties -> lowest anchor
     gt_claim_valid = gt_valid & (jnp.max(neg, axis=0) > 0.0)
     gt_idx = jnp.arange(iou.shape[1], dtype=jnp.int32)
-    assigned = jnp.full((iou.shape[0],), -1, dtype=jnp.int32)
-    assigned = assigned.at[best_anchor_per_gt].max(
-        jnp.where(gt_claim_valid, gt_idx, -1)
-    )
+    n_idx = jnp.arange(iou.shape[0], dtype=jnp.int32)
+    claims = best_anchor_per_gt[:, None] == n_idx[None, :]  # (G, N)
+    assigned = jnp.max(
+        jnp.where(
+            claims & gt_claim_valid[:, None], gt_idx[:, None], -1
+        ),
+        axis=0,
+    ).astype(jnp.int32)
 
     # anchor-side claims override (applied last in the reference scatter,
     # datacoder.py:236-244)
@@ -126,8 +133,22 @@ def encode_sample(
     matched = assigned >= 0
     safe = jnp.maximum(assigned, 0)
 
+    # Row selection from the tiny (G, .) ground-truth tables via a one-hot
+    # matmul instead of dynamic gathers: TPU gathers at (N,) indices cost
+    # ~2 ms per fused train step at B=16, the selection matmul is MXU noise
+    # (examples/08_profile.py round 3).  Exact ONLY at HIGHEST precision:
+    # the TPU default lowers f32 matmuls through bf16 passes, which would
+    # round the selected coordinates (~2 px at x=640); with full-f32
+    # passes the products are x*1/x*0 and the sum has one nonzero term —
+    # bit-exact selection.
+    sel = jax.nn.one_hot(safe, gt_labels.shape[0], dtype=jnp.float32)  # (N, G)
+
+    def select_rows(table):  # (G, K) -> (N, K), == table[safe]
+        return jax.lax.dot(sel, table, precision=jax.lax.Precision.HIGHEST)
+
     # one-hot labels; unmatched anchors get background (class 0)
-    labels_matched = jax.nn.one_hot(gt_labels[safe], num_classes, dtype=jnp.float32)
+    gt_labels_oh = jax.nn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    labels_matched = select_rows(gt_labels_oh)  # == one_hot(gt_labels[safe])
     background = jax.nn.one_hot(
         jnp.zeros((), dtype=jnp.int32), num_classes, dtype=jnp.float32
     )
@@ -141,7 +162,7 @@ def encode_sample(
         anchors_corners[:, 2],
         anchors_corners[:, 3],
     )
-    g = gt_boxes_corners[safe]
+    g = select_rows(gt_boxes_corners)  # (N, 4) == gt_boxes_corners[safe]
     gcx, gcy, gw, gh = coordinates_corners_to_centroids(
         g[:, 0], g[:, 1], g[:, 2], g[:, 3]
     )

@@ -45,3 +45,38 @@ def test_tf_pipeline_flow():
     Dataset.map(read_and_encode) -> fit -> save -> tf.keras load_model
     shim -> inference predict(ds_test) -> evaluators."""
     _run("tf_pipeline_flow.py", "TF_PIPELINE_FLOW_OK")
+
+
+def _run_notebook_verbatim(nb: str, marker: str) -> None:
+    """Reference notebook `nb` code cells exec'd VERBATIM (no model fit:
+    notebooks 01/99 are data/plotting only — notebook 03's fit cell runs
+    full-size on TPU via examples/05, logged under docs/runs/)."""
+    result = subprocess.run(
+        [
+            sys.executable,
+            "examples/05_reference_notebook_unmodified.py",
+            "--notebook", nb, "--cpu",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd="/root/repo",
+    )
+    assert result.returncode == 0, (
+        f"notebook {nb} verbatim failed rc={result.returncode}\n"
+        f"--- stdout ---\n{result.stdout[-4000:]}\n"
+        f"--- stderr ---\n{result.stderr[-4000:]}"
+    )
+    assert marker in result.stdout, result.stdout[-2000:]
+
+
+def test_notebook_01_verbatim():
+    """Reference notebook 01 (SSD framework: DefaultBoundingBoxes grids +
+    sample plotting, reference 01-ssd-framework...ipynb cells 0-3)."""
+    _run_notebook_verbatim("01", "VERBATIM_NOTEBOOK_01_OK")
+
+
+def test_notebook_99_verbatim():
+    """Reference notebook 99 (class-imbalance audit over data/*.json +
+    CSVs, reference 99-check-dataset-class-imbalance.ipynb cells 0-3)."""
+    _run_notebook_verbatim("99", "VERBATIM_NOTEBOOK_99_OK")
