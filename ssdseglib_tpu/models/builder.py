@@ -196,7 +196,7 @@ def _format_mask(mask: jnp.ndarray, mask_output: str) -> jnp.ndarray:
     output materialization + transfer), or 'class_map' (uint8 argmax —
     what most consumers compute anyway, 1/16th the bytes)."""
     if mask_output == "float32":
-        return mask
+        return mask.astype(jnp.float32)
     if mask_output == "bfloat16":
         return mask.astype(jnp.bfloat16)
     if mask_output == "class_map":
@@ -358,13 +358,17 @@ class InferenceModel:
             )
             stds = decode.standard_deviations
 
-            def pre_nms(variables, anchors_centroids, images):
+            def core(variables, anchors_centroids, images):
                 from ssdseglib_tpu.ops.encoding import (
                     decode_predictions_to_corners_yx,
                 )
 
                 out = fused_forward(images)
-                mask = out["output-mask"].astype(jnp.float32)
+                # mask stays in the compute dtype: casting the 4.9-MP-per-
+                # image probability tensor to f32 and back costs ~0.3 ms of
+                # HBM traffic per batch-16; the seg-suppression argmax and
+                # _format_mask consume any float dtype
+                mask = out["output-mask"]
                 labels = out["output-labels"].astype(jnp.float32)
                 if use_segmentation_suppression:
                     labels = seg_suppression(mask, labels)
@@ -375,8 +379,14 @@ class InferenceModel:
                 )
                 return mask, labels, boxes_yx
 
+            def pre_nms(variables, anchors_centroids, images):
+                mask, labels, boxes_yx = core(
+                    variables, anchors_centroids, images
+                )
+                return mask.astype(jnp.float32), labels, boxes_yx
+
             def forward(variables, anchors_centroids, images, iou_thr, score_thr):
-                mask, labels, boxes_yx = pre_nms(
+                mask, labels, boxes_yx = core(
                     variables, anchors_centroids, images
                 )
                 detections = nms_core(

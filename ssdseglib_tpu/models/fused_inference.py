@@ -40,19 +40,216 @@ def fold_mobilenetv2(variables) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 
 def _conv(x, kernel, bias, stride: int = 1, depthwise: bool = False,
-          relu6: bool = False):
+          relu6: bool = False, dilation: int = 1):
     """Folded conv + bias (+ relu6), NHWC/HWIO, SAME padding."""
     kernel = jnp.asarray(kernel, x.dtype)
     groups = x.shape[-1] if depthwise else 1
     y = jax.lax.conv_general_dilated(
         x, kernel, (stride, stride), "SAME",
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
-    y = y + jnp.asarray(bias, x.dtype)
+    if bias is not None:
+        y = y + jnp.asarray(bias, x.dtype)
     if relu6:
         y = jnp.minimum(jnp.maximum(y, 0.0), 6.0)
     return y
+
+
+def _act(x, relu_max):
+    """Reference activation convention (models/blocks.py): None = no
+    activation, 0.0 = uncapped ReLU, > 0 = capped ReLU."""
+    if relu_max is None:
+        return x
+    x = jnp.maximum(x, 0.0)
+    if relu_max > 0.0:
+        x = jnp.minimum(x, relu_max)
+    return x
+
+
+def _fold_convbn_tree(p, s):
+    return fold_conv_bn(
+        p["conv"]["kernel"], p["batchnorm"]["scale"], p["batchnorm"]["bias"],
+        s["batchnorm"]["mean"], s["batchnorm"]["var"],
+    )
+
+
+def _fold_sepconv_tree(p, s):
+    """SepConvBN: BN sits after the pointwise conv only (Keras
+    SeparableConv2D semantics, reference blocks.py:152-154) — fold it into
+    the pointwise kernel; the depthwise kernel passes through untouched."""
+    pw, bias = fold_conv_bn(
+        p["pointwise"]["kernel"], p["batchnorm"]["scale"],
+        p["batchnorm"]["bias"], s["batchnorm"]["mean"], s["batchnorm"]["var"],
+    )
+    return np.asarray(p["depthwise"]["kernel"], np.float32), pw, bias
+
+
+def fold_heads(variables, cfg: ModelConfig) -> Dict[str, tuple]:
+    """Fold every head-side ConvBN / SepConvBN into conv + bias, keyed by
+    '/'-joined parameter path.  Mirrors `fold_mobilenetv2` for the heads
+    (extra pyramid blocks, ASPP encoder, DeepLabV3+ decoder, SSDLite
+    branches — reference blocks.py:4-157, models.py:217-312)."""
+    from ssdseglib_tpu.models.builder import _backbone_head_config
+
+    p0, s0 = variables["params"], variables["batch_stats"]
+    _, extra = _backbone_head_config(cfg)
+    out = {}
+
+    def convbn(*path):
+        p = p0
+        s = s0
+        for key in path:
+            p, s = p[key], s[key]
+        out["/".join(path)] = _fold_convbn_tree(p, s)
+
+    def sepconv(*path):
+        p = p0
+        s = s0
+        for key in path:
+            p, s = p[key], s[key]
+        out["/".join(path)] = _fold_sepconv_tree(p, s)
+
+    sepconv(extra[0][1])
+    sepconv(extra[1][1])
+    convbn("mask-encoder", "aspp-pointwise")
+    for i in range(len(cfg.segmentation_dilation_rates)):
+        sepconv("mask-encoder", f"aspp-atrous{i + 1}")
+    convbn("mask-encoder", "pooling")
+    convbn("mask-encoder", "output")
+    convbn("mask-decoder", "backbone-reduce")
+    convbn("mask-decoder", "conv")
+    sepconv("mask-decoder", "sepconv")
+    out["mask-decoder/output-conv"] = (
+        np.asarray(p0["mask-decoder"]["output-conv"]["kernel"], np.float32),
+    )
+    for i in range(4):
+        sepconv("heads", f"labels{i + 1}", "sepconv")
+        sepconv("heads", f"boxes{i + 1}", "sepconv")
+    return out
+
+
+def heads_forward_folded(cfg: ModelConfig, folded: Dict[str, tuple],
+                         fm1, fm2, skip):
+    """BN-folded, concat-free forward of the task heads.
+
+    Numerically equivalent (at folding/rounding level) to
+    `SsdSegHeads.apply(..., train=False)` but shaped for the TPU memory
+    system: every ConvBN runs as conv+bias, and each `concat -> conv`
+    pair (the ASPP merge, reference blocks.py:64-66, and the decoder skip
+    merge, blocks.py:113-117) is reformulated as a sum of per-branch convs
+    over kernel slices — the (B, H, W, sum(C_i)) concatenation is never
+    materialized (it alone was ~0.6 ms/batch-16 of HBM traffic on v5e,
+    docs/PERFORMANCE.md round 3)."""
+    from ssdseglib_tpu.models.blocks import bilinear_resize
+    from ssdseglib_tpu.models.builder import _backbone_head_config
+
+    relu_max, extra = _backbone_head_config(cfg)
+
+    def sep(x, name, stride=1, dilation=1, rm=relu_max):
+        dw, pw, b = folded[name]
+        y = _conv(x, dw, None, stride=stride, depthwise=True,
+                  dilation=dilation)
+        return _act(_conv(y, pw, b), rm)
+
+    fm3 = sep(fm2, extra[0][1], stride=2)
+    fm4 = sep(fm3, extra[1][1], stride=2)
+
+    # -- ASPP encoder (reference blocks.py:4-74): the output pointwise conv
+    # over the 5-branch concat runs as 5 sliced matmuls summed; the pooled
+    # branch's contribution is spatially constant, so it enters as a bias.
+    pw_out = _act(_conv(fm1, *folded["mask-encoder/aspp-pointwise"]), relu_max)
+    atrous = [
+        sep(fm1, f"mask-encoder/aspp-atrous{i + 1}", dilation=rate)
+        for i, rate in enumerate(cfg.segmentation_dilation_rates)
+    ]
+    pooled = jnp.mean(fm1, axis=(1, 2), keepdims=True)
+    pooled = _act(_conv(pooled, *folded["mask-encoder/pooling"]), relu_max)
+    ko, bo = folded["mask-encoder/output"]  # (1, 1, 5F, F)
+    F = ko.shape[-1]
+    enc = _conv(pw_out, ko[:, :, :F], None)
+    for i, branch in enumerate(atrous):
+        enc = enc + _conv(branch, ko[:, :, (i + 1) * F:(i + 2) * F], None)
+    enc = enc + _conv(pooled, ko[:, :, (len(atrous) + 1) * F:], bo)
+    enc = _act(enc, relu_max)
+
+    # -- DeepLabV3+ decoder (reference blocks.py:76-132): the 3x3 conv over
+    # concat([upsampled encoder, reduced skip]) runs as two sliced convs.
+    enc_up = bilinear_resize(enc, skip.shape[1], skip.shape[2])
+    red = _act(_conv(skip, *folded["mask-decoder/backbone-reduce"]), relu_max)
+    kc, bc = folded["mask-decoder/conv"]  # (3, 3, F + 48, F)
+    x = _conv(enc_up, kc[:, :, :F], None) + _conv(red, kc[:, :, F:], bc)
+    x = _act(x, relu_max)
+    x = sep(x, "mask-decoder/sepconv")
+    (k_out,) = folded["mask-decoder/output-conv"]
+    x = _conv(x, k_out, None)
+    x = bilinear_resize(x, cfg.input_image_shape[0], cfg.input_image_shape[1])
+    mask = jax.nn.softmax(x, axis=-1)
+
+    # -- SSDLite branches (reference models.py:246-273, incl. the 4 /
+    # num_classes channel-swap quirk inherited from the Flax heads)
+    head_rm = (
+        cfg.detection_head_relu_max
+        if cfg.detection_head_relu_max is not None
+        else relu_max
+    )
+    fms = [fm1, fm2, fm3, fm4]
+    b = fm1.shape[0]
+    labels = jnp.concatenate(
+        [
+            sep(fm, f"heads/labels{i + 1}/sepconv", rm=head_rm).reshape(
+                b, -1, 4
+            )
+            for i, fm in enumerate(fms)
+        ],
+        axis=1,
+    )
+    labels = jax.nn.softmax(labels, axis=-1)
+    boxes = jnp.concatenate(
+        [
+            sep(fm, f"heads/boxes{i + 1}/sepconv", rm=head_rm).reshape(
+                b, -1, cfg.number_of_classes
+            )
+            for i, fm in enumerate(fms)
+        ],
+        axis=1,
+    )
+    return {"output-mask": mask, "output-labels": labels,
+            "output-boxes": boxes}
+
+
+def fold_stem_rescale(kernel, bias, input_hw):
+    """Fold the [0,255] -> [-1,1] input rescale (reference models.py:187)
+    into the (already BN-folded) stem conv.
+
+    conv_SAME(x/127.5 - 1, k) + b == conv_SAME(x, k/127.5) + (b - ones(x)*k)
+    where the correction term `conv_SAME(ones, k)` varies only near the
+    borders (SAME zero-padding of the RESCALED image means gray padding of
+    the raw one); it is precomputed here as a (1, H/2, W/2, C) bias map.
+    Lets the serving program consume the uint8 input directly — the
+    standalone rescale fusion previously forced a full-size layout copy
+    (0.45 ms/batch-16 on v5e, docs/PERFORMANCE.md round 3)."""
+    k = np.asarray(kernel, np.float32)
+    h, w = int(input_hw[0]), int(input_hw[1])
+    kh, kw = k.shape[:2]
+    stride = 2
+    hout, wout = -(-h // stride), -(-w // stride)
+    pad_t = max((hout - 1) * stride + kh - h, 0) // 2
+    pad_l = max((wout - 1) * stride + kw - w, 0) // 2
+    # corr[ho, wo, o] = sum over in-bounds taps of k summed over in-channels
+    # (pure NumPy: folding must not trigger a remote TPU compile)
+    ksum = k.sum(axis=2)  # (kh, kw, C_out)
+    hi = np.arange(hout) * stride - pad_t
+    wi = np.arange(wout) * stride - pad_l
+    corr = np.zeros((hout, wout, k.shape[3]), np.float32)
+    for dh in range(kh):
+        vh = ((hi + dh >= 0) & (hi + dh < h)).astype(np.float32)
+        for dw in range(kw):
+            vw = ((wi + dw >= 0) & (wi + dw < w)).astype(np.float32)
+            corr += ksum[dh, dw] * (vh[:, None] * vw[None, :])[..., None]
+    bias_map = np.asarray(bias, np.float32) - corr[None]
+    return k / 127.5, bias_map  # bias_map: (1, hout, wout, C_out)
 
 
 def _s2d_stem_applicable(x: jnp.ndarray, row_tile: int) -> bool:
@@ -153,38 +350,74 @@ def mobilenetv2_features_fused(
 
 def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, s2d_stem=False,
-                       s2d_row_tile: int = 4):
+                       s2d_row_tile: int = 4, fused_heads: bool = True,
+                       fold_input_rescale: bool = True):
     """Build a fused-backbone forward with the same signature/outputs as
-    `SsdSegModel.apply(variables, images, train=False)`."""
-    from ssdseglib_tpu.models.builder import SsdSegHeads
+    `SsdSegModel.apply(variables, images, train=False)`.
 
+    fused_heads: run the task heads through the BN-folded, concat-free
+    formulation (heads_forward_folded) instead of the Flax SsdSegHeads
+    module.  fold_input_rescale: absorb the [0,255] -> [-1,1] rescale into
+    the stem conv (fold_stem_rescale) so the program consumes the raw
+    (typically uint8) input directly; disabled automatically under the s2d
+    stem experiment, and bypassed at trace time for input spatial shapes
+    other than cfg.input_image_shape (the border-correction bias map is
+    shape-specific)."""
     if cfg.backbone != "mobilenetv2":
         raise ValueError("fused inference currently supports mobilenetv2 only")
 
-    folded = {
-        name: (jnp.asarray(k, compute_dtype), jnp.asarray(b, compute_dtype))
-        for name, (k, b) in fold_mobilenetv2(variables).items()
-    }
-    heads = SsdSegHeads(cfg=cfg)
-    head_keys = [k for k in variables["params"] if k != "backbone"]
-    heads_vars = {
-        "params": {k: variables["params"][k] for k in head_keys},
-        "batch_stats": {
-            k: variables["batch_stats"][k]
-            for k in variables["batch_stats"]
-            if k != "backbone"
-        },
-    }
-    heads_vars = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a, compute_dtype), heads_vars
-    )
+    folded_f32 = fold_mobilenetv2(variables)
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, compute_dtype), tree
+        )
+
+    folded = cast(folded_f32)
+    stem_folded = None
+    if fold_input_rescale and not s2d_stem:
+        k0, b0 = fold_stem_rescale(
+            *folded_f32["backbone-block0-expand"], cfg.input_image_shape[:2]
+        )
+        stem_folded = dict(folded)
+        stem_folded["backbone-block0-expand"] = cast((k0, b0))
+
+    if fused_heads:
+        heads_folded = cast(fold_heads(variables, cfg))
+
+        def apply_heads(fm1, fm2, skip):
+            return heads_forward_folded(cfg, heads_folded, fm1, fm2, skip)
+    else:
+        from ssdseglib_tpu.models.builder import SsdSegHeads
+
+        heads = SsdSegHeads(cfg=cfg)
+        head_keys = [k for k in variables["params"] if k != "backbone"]
+        heads_vars = cast({
+            "params": {k: variables["params"][k] for k in head_keys},
+            "batch_stats": {
+                k: variables["batch_stats"][k]
+                for k in variables["batch_stats"]
+                if k != "backbone"
+            },
+        })
+
+        def apply_heads(fm1, fm2, skip):
+            return heads.apply(heads_vars, fm1, fm2, skip, train=False)
+
+    expected_hw = tuple(cfg.input_image_shape[:2])
 
     def forward(images):
-        x = images.astype(compute_dtype) / 127.5 - 1.0
+        if stem_folded is not None and images.shape[1:3] == expected_hw:
+            # raw-input path: rescale folded into the stem conv
+            x = images.astype(compute_dtype)
+            backbone_folded = stem_folded
+        else:
+            x = images.astype(compute_dtype) / 127.5 - 1.0
+            backbone_folded = folded
         fm1, fm2, skip = mobilenetv2_features_fused(
-            folded, x, interpret=interpret, s2d_stem=s2d_stem,
+            backbone_folded, x, interpret=interpret, s2d_stem=s2d_stem,
             s2d_row_tile=s2d_row_tile,
         )
-        return heads.apply(heads_vars, fm1, fm2, skip, train=False)
+        return apply_heads(fm1, fm2, skip)
 
     return forward

@@ -73,6 +73,68 @@ def test_fused_forward_s2d_stem_matches_standard(setup, mode):
         )
 
 
+def test_fused_forward_flax_heads_matches_standard(setup):
+    """The legacy path (Flax heads module, standalone input rescale) must
+    keep matching — it is the reference point the folded-heads path was
+    validated against on the real chip."""
+    module, variables = setup
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32))
+
+    expected = module.apply(variables, x, train=False)
+    fused = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True,
+        fused_heads=False, fold_input_rescale=False,
+    )
+    got = fused(x)
+
+    for key in expected:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(expected[key]),
+            rtol=2e-3, atol=2e-3, err_msg=key,
+        )
+
+
+def test_fused_forward_off_shape_input_bypasses_rescale_fold(setup):
+    """fold_input_rescale's border-correction bias map is specific to
+    cfg.input_image_shape; any other spatial shape must trace the
+    standalone-rescale path and still match the Flax forward."""
+    module, variables = setup
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 96, 3)).astype(np.float32))
+
+    expected = module.apply(variables, x, train=False)
+    fused = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True
+    )
+    got = fused(x)
+
+    for key in expected:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(expected[key]),
+            rtol=2e-3, atol=2e-3, err_msg=key,
+        )
+
+
+def test_fused_forward_uint8_input_matches_float(setup):
+    """Raw uint8 input (what the C++ loader emits) through the folded-stem
+    path equals the float path bit-for-bit at f32."""
+    _, variables = setup
+    rng = np.random.default_rng(5)
+    x8 = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+
+    fused = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True
+    )
+    got8 = fused(jnp.asarray(x8))
+    gotf = fused(jnp.asarray(x8.astype(np.float32)))
+    for key in gotf:
+        np.testing.assert_allclose(
+            np.asarray(got8[key]), np.asarray(gotf[key]),
+            rtol=1e-6, atol=1e-6, err_msg=key,
+        )
+
+
 def test_fused_forward_rejects_shufflenet(setup):
     _, variables = setup
     cfg = ModelConfig(backbone="shufflenetv2")
