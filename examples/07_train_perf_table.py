@@ -59,6 +59,7 @@ def measure_config(
     fused_transform: bool,
     variables,
     depthwise_impl: str = "conv",
+    wgrad_impl: str = "xla",
 ) -> dict:
     import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def measure_config(
     from ssdseglib_tpu.train import TrainState
 
     blocks.set_depthwise_impl(depthwise_impl)
+    blocks.set_wgrad_impl(wgrad_impl)
     model = TrainableModel(module=SsdSegModel(cfg=model_cfg), cfg=model_cfg)
     trainer = Trainer(model=model, anchors=anchors, config=train_cfg)
     # fresh buffers per row: the train step donates its state, which would
@@ -174,13 +176,13 @@ def main() -> None:
         adam_mu_dtype="bfloat16", remat=True,
     )
     rows = [
-        ("f32", base, False, "conv"),
-        ("bf16", bf16, False, "conv"),
-        ("bf16 + mu-bf16", bf16_mu, False, "conv"),
-        ("bf16 + mu-bf16 + remat", bf16_mu_remat, False, "conv"),
-        ("bf16 + mu-bf16 (fused xform)", bf16_mu, True, "conv"),
-        ("bf16 + mu-bf16 (dw-shift)", bf16_mu, False, "shift"),
-        ("bf16 + mu (fused, dw-shift)", bf16_mu, True, "shift"),
+        ("f32", base, False, "conv", "xla"),
+        ("bf16", bf16, False, "conv", "xla"),
+        ("bf16 (dot wgrad)", bf16, False, "conv", "dot"),
+        ("bf16 + mu-bf16", bf16_mu, False, "conv", "xla"),
+        ("bf16 + mu-bf16 + remat", bf16_mu_remat, False, "conv", "xla"),
+        ("bf16 + mu-bf16 (fused xform)", bf16_mu, True, "conv", "xla"),
+        ("bf16 + mu-bf16 (dw-shift)", bf16_mu, False, "shift", "xla"),
     ]
     print(
         f"train-step sweep: batch {args.batch}, {args.steps} timed steps, "
@@ -191,9 +193,9 @@ def main() -> None:
     results = [
         measure_config(
             name, cfg, model_cfg, anchors, enc_cfg, args.batch, args.steps,
-            fused, variables, impl,
+            fused, variables, impl, wgrad,
         )
-        for name, cfg, fused, impl in rows
+        for name, cfg, fused, impl, wgrad in rows
     ]
     best = min(results, key=lambda r: r["ms_per_step"])
     print(f"\nbest: {best['name']} at {best['ms_per_step']:.1f} ms/step "

@@ -38,6 +38,18 @@ BN_EPSILON = 1e-3
 # Trace-time switch: set before building/jitting a model.
 DEPTHWISE_IMPL = "conv"
 
+# Weight-gradient lowering for every model conv: 'dot' routes convs
+# through ops/conv_backward.conv2d_fast_wgrad (1x1 wgrad as one giant-K
+# dot_general — same contraction, f32 accumulation; forward and
+# input-gradient stay XLA's), 'xla' = plain nn.Conv.  Measured A/B on v5e
+# (tests/tpu_scripts/wgrad_ab.py, interleaved best-of-2): 'dot' LOSES
+# 58.8 -> 61.7 ms/step, and the per-tap slice variant for k>1/depthwise
+# lost 58.9 -> 88.3 — XLA's own conv-wgrad lowering wins for every shape
+# here.  Kept as a parity-tested opt-in negative result (same policy as
+# the s2d stem and dw-shift studies, docs/PERFORMANCE.md round 3).
+# Trace-time switch: set before building/jitting a model.
+WGRAD_IMPL = "xla"
+
 
 def set_depthwise_impl(impl: str) -> None:
     global DEPTHWISE_IMPL
@@ -46,8 +58,81 @@ def set_depthwise_impl(impl: str) -> None:
     DEPTHWISE_IMPL = impl
 
 
+def set_wgrad_impl(impl: str) -> None:
+    global WGRAD_IMPL
+    if impl not in ("xla", "dot"):
+        raise ValueError(f"wgrad impl must be 'xla' or 'dot', got {impl!r}")
+    WGRAD_IMPL = impl
+
+
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class _FastWgradConv(nn.Module):
+    """Drop-in for `nn.Conv(..., padding='SAME')` routing through
+    `ops/conv_backward.conv2d_fast_wgrad`: IDENTICAL parameter names and
+    shapes ('kernel' (kh, kw, Cin/groups, Cout), optional 'bias'), so
+    checkpoints, the Keras importer and the golden tests are
+    implementation-agnostic."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ssdseglib_tpu.ops.conv_backward import conv2d_fast_wgrad
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1] // self.groups, self.features),
+            jnp.float32,
+        )
+        y = conv2d_fast_wgrad(
+            x, kernel.astype(x.dtype), self.strides, self.dilation, self.groups
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def dense_conv(
+    features: int,
+    kernel_size,
+    strides=1,
+    dilation=1,
+    use_bias: bool = False,
+    name: str = "conv",
+):
+    """Standard (group=1) conv module through the selected weight-gradient
+    lowering (WGRAD_IMPL)."""
+    if WGRAD_IMPL == "dot":
+        return _FastWgradConv(
+            features=features,
+            kernel_size=_pair(kernel_size),
+            strides=_pair(strides),
+            dilation=_pair(dilation),
+            use_bias=use_bias,
+            name=name,
+        )
+    return nn.Conv(
+        features,
+        _pair(kernel_size),
+        strides=_pair(strides),
+        kernel_dilation=_pair(dilation),
+        padding="SAME",
+        use_bias=use_bias,
+        name=name,
+    )
 
 
 class _ShiftDepthwiseConv(nn.Module):
@@ -91,6 +176,15 @@ def depthwise_conv(
             name=name,
         )(x)
     channels = x.shape[-1]
+    if WGRAD_IMPL == "dot":
+        return _FastWgradConv(
+            features=channels,
+            kernel_size=_pair(kernel_size),
+            strides=_pair(strides),
+            dilation=_pair(dilation),
+            groups=channels,
+            name=name,
+        )(x)
     return nn.Conv(
         channels,
         _pair(kernel_size),
@@ -125,12 +219,11 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
+        x = dense_conv(
             self.features,
-            _pair(self.kernel_size),
-            strides=_pair(self.strides),
-            kernel_dilation=_pair(self.dilation),
-            padding="SAME",
+            self.kernel_size,
+            strides=self.strides,
+            dilation=self.dilation,
             use_bias=self.use_bias,
             name="conv",
         )(x)
@@ -185,9 +278,7 @@ class SepConvBN(nn.Module):
         x = depthwise_conv(
             x, self.kernel_size, self.strides, self.dilation, name="depthwise"
         )
-        x = nn.Conv(
-            self.features, (1, 1), padding="SAME", use_bias=False, name="pointwise"
-        )(x)
+        x = dense_conv(self.features, 1, name="pointwise")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

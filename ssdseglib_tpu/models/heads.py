@@ -18,6 +18,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ssdseglib_tpu.models import blocks as blocks_lib
 from ssdseglib_tpu.models.blocks import ConvBN, SepConvBN, bilinear_resize
 
 
@@ -158,9 +159,8 @@ class DeepLabV3PlusDecoder(nn.Module):
         x = SepConvBN(
             self.filters_decoder, kernel_size=3, relu_max=self.relu_max, name="sepconv"
         )(x, train)
-        x = nn.Conv(
-            self.output_channels, (3, 3), padding="SAME", use_bias=False,
-            name="output-conv",
+        x = blocks_lib.dense_conv(
+            self.output_channels, 3, name="output-conv"
         )(x)
         x = bilinear_resize(x, *self.output_height_width)
         return nn.softmax(x, axis=-1)

@@ -23,6 +23,7 @@ from typing import Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ssdseglib_tpu.models import blocks as blocks_lib
 from ssdseglib_tpu.models.blocks import ConvBN, DepthwiseConvBN, channel_shuffle
 
 STAGE_CHANNELS = {
@@ -102,9 +103,8 @@ class ShuffleNetV2Backbone(nn.Module):
 
         # stage 1: conv24 k3 s2 (with bias, no BN — reference models.py:628)
         # + maxpool 3x3 s2
-        x = nn.Conv(
-            24, (3, 3), strides=(2, 2), padding="SAME", use_bias=True,
-            name="backbone-stage1-conv",
+        x = blocks_lib.dense_conv(
+            24, 3, strides=2, use_bias=True, name="backbone-stage1-conv"
         )(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
