@@ -89,7 +89,7 @@ def main() -> None:
     jax.block_until_ready(inputs)
 
     for compute_dtype, mask_output in (
-        ("float32", "float32"), ("bfloat16", "bfloat16"),
+        ("bfloat16", "bfloat16"), ("float32", "float32"),
     ):
         infer = builder.get_model_for_inference(
             model_trained=variables,
@@ -108,7 +108,12 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             outs = [infer(inputs[i % len(inputs)]) for i in range(args.steps)]
-            jax.block_until_ready(outs)
+            # fence by FETCHING the (tiny) detections of the final step:
+            # block_until_ready through the relay returned early for this
+            # program (0.4 ms/batch readings — physically impossible);
+            # a device->host copy cannot complete before the program, and
+            # single-device execution order covers every prior step.
+            np.asarray(outs[-1][1])
             dt = time.perf_counter() - t0
             rates.append(args.steps * batch / dt)
         rate = sorted(rates)[len(rates) // 2]
@@ -155,6 +160,12 @@ def main() -> None:
         ]
         jax.block_until_ready(raw)
 
+        # compile + warmup OUTSIDE the timed window (the remote compile is
+        # minutes; including it reported 3000 ms/step for a ~70 ms step)
+        rng0, b0 = raw[0]
+        state, metrics = step_fn(state, rng0, *b0)
+        float(np.asarray(metrics["loss"]))
+
         losses = []
         t0 = time.perf_counter()
         for i in range(args.train_steps):
@@ -164,7 +175,7 @@ def main() -> None:
                 losses.append(float(np.asarray(metrics["loss"])))
                 print(f"  train step {i + 1}: loss {losses[-1]:.3f}",
                       flush=True)
-        jax.block_until_ready(metrics["loss"])
+        float(np.asarray(metrics["loss"]))
         dt = time.perf_counter() - t0
         print(
             f"train: {1000.0 * dt / args.train_steps:.1f} ms/step "

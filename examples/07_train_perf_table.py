@@ -175,10 +175,15 @@ def main() -> None:
         batch_size=args.batch, compute_dtype="bfloat16",
         adam_mu_dtype="bfloat16", remat=True,
     )
+    bf16_loss_only = TrainConfig(
+        batch_size=args.batch, compute_dtype="bfloat16",
+        streaming_metrics="loss_only",
+    )
     rows = [
         ("f32", base, False, "conv", "xla"),
         ("bf16", bf16, False, "conv", "xla"),
         ("bf16 (dot wgrad)", bf16, False, "conv", "dot"),
+        ("bf16 + loss-only metrics", bf16_loss_only, False, "conv", "xla"),
         ("bf16 + mu-bf16", bf16_mu, False, "conv", "xla"),
         ("bf16 + mu-bf16 + remat", bf16_mu_remat, False, "conv", "xla"),
         ("bf16 + mu-bf16 (fused xform)", bf16_mu, True, "conv", "xla"),

@@ -156,6 +156,13 @@ class TrainConfig:
     # ~30% more FLOPs for not storing the 480x640-resolution mask-head
     # activations — useful for large batches / long schedules
     remat: bool = False
+    # streaming metrics computed inside the jitted train/eval steps:
+    # 'full' = the reference's per-step Keras metrics (C20: soft mask IoU,
+    # decoded-box IoU over all 9600 anchors, per-class accuracy — notebook
+    # 03 cell 14), 'loss_only' = just the 4 loss scalars (framework
+    # extension: the metric ops cost measurable step time; the post-hoc
+    # evaluators C21/C22 are unaffected)
+    streaming_metrics: str = "full"
 
 
 def reference_warehouse_config():

@@ -70,6 +70,11 @@ class Trainer:
 
     def __post_init__(self):
         cfg = self.config
+        if cfg.streaming_metrics not in ("full", "loss_only"):
+            raise ValueError(
+                "streaming_metrics must be 'full' or 'loss_only', got "
+                f"{cfg.streaming_metrics!r}"
+            )
         if cfg.mask_loss == "cross_entropy":
             self._mask_loss = losses_lib.cross_entropy(list(cfg.mask_class_weights))
         elif cfg.mask_loss == "dice":
@@ -145,16 +150,25 @@ class Trainer:
             "loss/mask": l_mask,
             "loss/labels": l_conf,
             "loss/boxes": l_loc,
-            "iou/mask": jnp.mean(
-                self._mask_iou(targets["output-mask"], outputs["output-mask"])
-            ),
-            "iou/boxes": jnp.mean(
-                self._box_iou(targets["output-boxes"], outputs["output-boxes"])
-            ),
-            "accuracy/labels": jnp.mean(
-                self._cat_acc(targets["output-labels"], outputs["output-labels"])
-            ),
         }
+        if cfg.streaming_metrics == "full":
+            metrics.update({
+                "iou/mask": jnp.mean(
+                    self._mask_iou(
+                        targets["output-mask"], outputs["output-mask"]
+                    )
+                ),
+                "iou/boxes": jnp.mean(
+                    self._box_iou(
+                        targets["output-boxes"], outputs["output-boxes"]
+                    )
+                ),
+                "accuracy/labels": jnp.mean(
+                    self._cat_acc(
+                        targets["output-labels"], outputs["output-labels"]
+                    )
+                ),
+            })
         return total, metrics
 
     # -- steps ------------------------------------------------------------

@@ -181,3 +181,74 @@ def test_runtime_tunable_nms_thresholds():
     )
     _, det_a = inf_a.predict(images)
     np.testing.assert_allclose(det_a, det_b, atol=0)
+
+
+def test_input_layout_auto_matches_default():
+    """input_layout='auto' (AOT executable with XLA-chosen input formats)
+    must reproduce the default program exactly: staged inputs via
+    prepare_input, fallback on off-shape batches, threshold retune, and
+    update_variables restaging all covered."""
+    import jax.numpy as jnp
+
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = _builder(n_boxes)
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+    kwargs = dict(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+    )
+    rng = np.random.default_rng(9)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+
+    inf_default = builder.get_model_for_inference(**kwargs)
+    inf_auto = builder.get_model_for_inference(
+        input_layout="auto", input_layout_batch=2, **kwargs
+    )
+    assert inf_auto._auto is not None
+
+    mask_d, det_d = inf_default(images)
+    staged = inf_auto.prepare_input(images)
+    mask_a, det_a = inf_auto(staged)
+    np.testing.assert_allclose(
+        np.asarray(mask_a), np.asarray(mask_d), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(det_a), np.asarray(det_d), atol=1e-6)
+
+    # off-shape batch falls back to the regular program
+    images3 = rng.uniform(0, 255, (3, 96, 128, 3)).astype(np.uint8)
+    mask3, det3 = inf_auto(images3)
+    mask3_d, det3_d = inf_default(images3)
+    np.testing.assert_allclose(np.asarray(mask3), np.asarray(mask3_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(det3), np.asarray(det3_d), atol=1e-6)
+
+    # runtime threshold retune flows into the AUTO executable
+    inf_auto.set_nms_operating_point(labels_probability_threshold=0.9)
+    inf_default.set_nms_operating_point(labels_probability_threshold=0.9)
+    _, det_hi_a = inf_auto(inf_auto.prepare_input(images))
+    _, det_hi_d = inf_default(images)
+    np.testing.assert_allclose(
+        np.asarray(det_hi_a), np.asarray(det_hi_d), atol=1e-6
+    )
+
+    # weight swap restages the AUTO operands
+    variables2 = trainable.init(jax.random.key(1))
+    inf_auto.update_variables(variables2)
+    inf_default.update_variables(variables2)
+    _, det_v2_a = inf_auto(inf_auto.prepare_input(images))
+    _, det_v2_d = inf_default(images)
+    np.testing.assert_allclose(
+        np.asarray(det_v2_a), np.asarray(det_v2_d), atol=1e-6
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="input_layout"):
+        builder.get_model_for_inference(input_layout="bogus", **kwargs)

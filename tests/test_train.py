@@ -268,6 +268,39 @@ def test_bf16_mu_and_remat_train_step(anchors, loader):
     assert float(m2["loss"]) < float(m1["loss"])
 
 
+def test_loss_only_streaming_metrics(anchors, loader):
+    """streaming_metrics='loss_only' drops the per-step metric ops but
+    keeps the exact same losses/updates ('full' stays the reference
+    default — notebook 03 cell 14 compiles metrics on every output)."""
+    import dataclasses
+
+    images, targets = next(iter(loader))
+    metrics_by_mode = {}
+    for mode in ("full", "loss_only"):
+        cfg = dataclasses.replace(TRAIN_CFG, streaming_metrics=mode)
+        model = TrainableModel(module=SsdSegModel(cfg=MODEL_CFG), cfg=MODEL_CFG)
+        tr = Trainer(model=model, anchors=anchors, config=cfg)
+        state = tr.init_state(jax.random.key(5))
+        _, m = tr.train_step_fn()(state, images, targets)
+        metrics_by_mode[mode] = m
+    full, loss_only = metrics_by_mode["full"], metrics_by_mode["loss_only"]
+    assert set(loss_only) == {"loss", "loss/mask", "loss/labels", "loss/boxes"}
+    assert "iou/boxes" in full
+    for k in loss_only:
+        np.testing.assert_allclose(
+            float(loss_only[k]), float(full[k]), rtol=1e-6
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="streaming_metrics"):
+        Trainer(
+            model=TrainableModel(module=SsdSegModel(cfg=MODEL_CFG), cfg=MODEL_CFG),
+            anchors=anchors,
+            config=dataclasses.replace(TRAIN_CFG, streaming_metrics="bogus"),
+        )
+
+
 def test_shufflenet_train_step(anchors, loader):
     """Gradients flow through channel shuffle/split: one step, finite loss."""
     import dataclasses

@@ -30,7 +30,10 @@ def timed(fn, inputs, steps=32, rounds=3):
     for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [fn(inputs[i % len(inputs)]) for i in range(steps)]
-        jax.block_until_ready(outs)
+        # fence by fetching a scalar of the final step: block_until_ready
+        # through the relay returns early for some programs
+        # (docs/PERFORMANCE.md measurement pitfalls)
+        np.asarray(outs[-1]["output-labels"][0, 0])
         dt = time.perf_counter() - t0
         rates.append(1000.0 * dt / steps)
     return sorted(rates)[len(rates) // 2]
