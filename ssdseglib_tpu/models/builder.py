@@ -454,7 +454,14 @@ class InferenceModel:
         from jax.experimental.layout import Format, Layout
 
         h, w, c = self.module.cfg.input_image_shape
-        base_program = self._forward_program
+        # same batch-ceiling rule as _forward: never AOT-compile the fused
+        # program above its validated batch (compile-helper crash —
+        # docs/PERFORMANCE.md "batch > 16 root cause")
+        base_program = (
+            self._forward_program
+            if self._fused_max_batch is None or batch <= self._fused_max_batch
+            else self._fallback_programs[0]
+        )
         auto_jit = jax.jit(
             lambda v, a, im, it, st: base_program(v, a, im, it, st),
             in_shardings=Format(Layout.AUTO),
