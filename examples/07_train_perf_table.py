@@ -144,6 +144,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--quick", action="store_true",
                         help="small shapes (CPU smoke)")
+    parser.add_argument("--rows", default=None,
+                        help="comma-separated name substrings to run "
+                             "(default: all rows)")
     args = parser.parse_args()
 
     anchors_cfg, enc_cfg, model_cfg, _, _ = reference_warehouse_config()
@@ -189,6 +192,9 @@ def main() -> None:
         ("bf16 + mu-bf16 (fused xform)", bf16_mu, True, "conv", "xla"),
         ("bf16 + mu-bf16 (dw-shift)", bf16_mu, False, "shift", "xla"),
     ]
+    if args.rows:
+        wanted = [s.strip() for s in args.rows.split(",")]
+        rows = [r for r in rows if any(w in r[0] for w in wanted)]
     print(
         f"train-step sweep: batch {args.batch}, {args.steps} timed steps, "
         f"image {enc_cfg.image_shape}, backend {jax.default_backend()}",

@@ -129,10 +129,13 @@ def build_serving(batch: int):
         compute_dtype="bfloat16",
         fused_backbone=True,
         mask_output="bfloat16",
+        input_layout="auto",
+        input_layout_batch=batch,
     )
     base = np.random.default_rng(0).uniform(0, 255, (batch, 480, 640, 3))
     inputs = [
-        jnp.asarray((base + i) % 256.0, dtype=jnp.uint8) for i in range(4)
+        infer.prepare_input(((base + i) % 256.0).astype(np.uint8))
+        for i in range(4)
     ]
     jax.block_until_ready(inputs)
 
