@@ -172,10 +172,14 @@ class KerasStyleModel:
                 self._head_feature_shapes(), self.cfg.boxes_per_point
             )
         )
+        # labels get 4 channels and boxes get number_of_classes — the
+        # reference's preserved head channel-swap quirk (reference
+        # models.py:250-268; equal only because num_classes == 4 in the
+        # published config)
         print_fn(
             f"  outputs: output-mask (None, {shape[1]}, {shape[2]}, "
-            f"{self.cfg.number_of_classes}), output-labels (None, {n}, "
-            f"{self.cfg.number_of_classes}), output-boxes (None, {n}, 4)"
+            f"{self.cfg.number_of_classes}), output-labels (None, {n}, 4), "
+            f"output-boxes (None, {n}, {self.cfg.number_of_classes})"
         )
         print_fn("=" * 65)
         print_fn(f"Total params: {trainable + stats:,}")
@@ -457,7 +461,13 @@ class CompatInferenceModel:
 
     def __call__(self, images, training: bool = False):
         mask, detections = self._inner(np.asarray(images, np.float32))
-        return np.asarray(mask), np.asarray(detections)
+        mask, detections = np.asarray(mask), np.asarray(detections)
+        if self._suppress_background:
+            # reference behavior: the NMS layer removes background rows
+            # INSIDE its call, flattening the batch structure (reference
+            # layers.py:165-166) — direct calls must match predict()
+            detections = detections[detections[..., 0] > 0.0]
+        return mask, detections
 
     def predict(self, x, verbose="auto", **_):
         """Predict over a dataset/array; returns ``(mask_batch,

@@ -48,20 +48,24 @@ def load_dataset_json(path: str, root: Optional[str] = None) -> List[PathTriple]
     The reference stores paths relative to the REPO root, not to the JSON
     file (e.g. `data/train/1.png` inside `data/train.json` — reference
     notebook 03 cell 4 opens them with cwd at the repo root).  With no
-    explicit `root`, paths that already start with the JSON's directory
-    name resolve against the JSON's parent directory; anything else
-    resolves against the JSON's directory.
+    explicit `root`, paths resolve against the JSON's directory; if EVERY
+    triple instead starts with the JSON directory's own name AND the
+    JSON-dir-relative resolution of the first file does not exist, the
+    reference layout is assumed and paths resolve against the JSON's
+    parent directory.
     """
     triples = json.load(open(path))
     if root is None:
         json_dir = os.path.dirname(os.path.abspath(path))
         dir_name = os.path.basename(json_dir)
+        root = json_dir
         if triples and all(
-            p.startswith(dir_name + "/") for p in triples[0]
+            p.startswith(dir_name + "/") for t in triples for p in t
         ):
-            root = os.path.dirname(json_dir)  # reference layout
-        else:
-            root = json_dir
+            # ambiguous: 'train/0.png' inside train.json could be either
+            # layout — prefer whichever resolution actually exists
+            if not os.path.exists(os.path.join(json_dir, triples[0][0])):
+                root = os.path.dirname(json_dir)  # reference layout
     return [tuple(os.path.join(root, p) for p in t) for t in triples]
 
 

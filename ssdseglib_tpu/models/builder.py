@@ -216,6 +216,7 @@ def _serving_programs(
     max_boxes_per_sample: int,
     compute_dtype_str: str,
     mask_output: str,
+    max_candidates_per_class: int = 256,
 ):
     """Shared jitted serving programs, cached on the STATIC configuration.
 
@@ -237,6 +238,7 @@ def _serving_programs(
         boxes_iou_threshold=0.0,  # overridden per call
         labels_probability_threshold=0.0,
         suppress_background_boxes=False,
+        max_candidates_per_class=max_candidates_per_class,
     )
 
     def pre_nms(variables, anchors_centroids, images):
@@ -318,7 +320,11 @@ class InferenceModel:
         arrays, which upload directly into the chosen tiling).  Off-shape
         batches and device arrays in the default layout fall back to the
         regular program.  Not combined with `mesh`."""
-        _format_mask(jnp.zeros((1, 1, 1, 2)), mask_output)  # validate early
+        if mask_output not in ("float32", "bfloat16", "class_map"):
+            raise ValueError(
+                "mask_output must be 'float32', 'bfloat16' or 'class_map', "
+                f"got {mask_output!r}"
+            )
         self.module = module
         variables_f32 = variables  # keep full precision for BN folding
         self.variables = variables
@@ -366,6 +372,7 @@ class InferenceModel:
                 boxes_iou_threshold=0.0,
                 labels_probability_threshold=0.0,
                 suppress_background_boxes=False,
+                max_candidates_per_class=nms.config.max_candidates_per_class,
             )
             stds = decode.standard_deviations
 
@@ -419,6 +426,7 @@ class InferenceModel:
                 nms.config.max_boxes_per_sample,
                 str(self._compute_dtype),
                 mask_output,
+                nms.config.max_candidates_per_class,
             )
             self._fused_fallback_warned = False
         else:
@@ -432,6 +440,7 @@ class InferenceModel:
                 nms.config.max_boxes_per_sample,
                 str(self._compute_dtype),
                 mask_output,
+                nms.config.max_candidates_per_class,
             )
 
         self._auto = None

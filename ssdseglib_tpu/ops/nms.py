@@ -35,6 +35,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ssdseglib_tpu.config import NmsConfig
 
@@ -256,8 +257,13 @@ def combined_nms(
         iou = _pairwise_iou_yx(cand_boxes)  # (B, C, K, K)
         if use_pallas is None:
             use_pallas = _use_pallas_default()
-        if use_pallas and not isinstance(iou_threshold, (int, float)):
-            use_pallas = False  # Pallas kernel needs a static threshold
+        if use_pallas and not isinstance(
+            iou_threshold, (int, float, np.floating, np.integer)
+        ):
+            # concrete (non-tracer) device scalars are static too
+            use_pallas = isinstance(iou_threshold, jax.Array) and not isinstance(
+                iou_threshold, jax.core.Tracer
+            )
         if use_pallas:
             from ssdseglib_tpu.ops.nms_pallas import greedy_select_pallas
 

@@ -137,6 +137,46 @@ assert det.shape == (2, 10, 6)
 mask1, det1 = model_inference(data[0][0][:1], training=False)
 assert mask1.shape[0] == 1 and det1.shape == (1, 10, 6)
 
+# with suppress_background_boxes=True the direct call matches the
+# reference NMS layer: background rows removed INSIDE the call, batch
+# structure flattened (reference layers.py:165-166) — same as predict()
+model_inference_sup = model_builder.get_model_for_inference(
+    model_trained=loaded,
+    max_number_of_boxes_per_class=4,
+    max_number_of_boxes_per_sample=10,
+    boxes_iou_threshold=0.025,
+    labels_probability_threshold=0.5,
+    suppress_background_boxes=True,
+    use_segmentation_suppression=True,
+)
+_, det_sup = model_inference_sup(data[0][0][:1], training=False)
+assert det_sup.ndim == 2 and det_sup.shape[1] == 6
+assert (det_sup[:, 0] > 0.0).all()
+_, det_sup_p = model_inference_sup.predict(data[0][0][:1])
+np.testing.assert_array_equal(det_sup, det_sup_p)
+
+# summary() reports the quirk-preserving head shapes — labels get 4
+# channels and boxes get number_of_classes (reference models.py:250-268;
+# only visible when num_classes != 4)
+builder6 = ssdseglib.models.MobileNetV2SsdSegBuilder(
+    input_image_shape=INPUT_IMAGE_SHAPE,
+    number_of_boxes_per_point=[
+        len(ars) + 1 for ars in boxes_default.feature_maps_aspect_ratios
+    ],
+    number_of_classes=6,
+    **anchor_kwargs,
+)
+model6 = builder6.get_model_for_training(segmentation_dilation_rates=(3, 6, 12))
+lines = []
+model6.summary(print_fn=lines.append)
+out_line = next(line for line in lines if "output-labels" in line)
+import re
+
+m = re.search(r"output-labels \(None, (\d+), (\d+)\), "
+              r"output-boxes \(None, (\d+), (\d+)\)", out_line)
+assert m, out_line
+assert m.group(2) == "4" and m.group(4) == "6", out_line
+
 # loaded model reproduces the saved model exactly
 for a, b in zip(model(data[0][0][:1]), loaded(data[0][0][:1])):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

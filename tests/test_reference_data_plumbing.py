@@ -111,3 +111,29 @@ def test_reference_triples_through_loader(tmp_path):
     labels = np.asarray(targets["output-labels"])
     np.testing.assert_allclose(labels.sum(-1), 1.0, rtol=1e-6)
     assert (labels[..., 1:].sum() > 0), "no anchor matched any GT box"
+
+
+def test_root_heuristic_prefers_existing_json_dir_layout(tmp_path):
+    """A dataset whose JSON-dir-relative paths legitimately start with the
+    directory's own name (e.g. /ds/train/train.json listing 'train/0.png'
+    with files at /ds/train/train/0.png) must NOT be mis-resolved against
+    the parent directory: the heuristic only assumes the reference layout
+    when the JSON-dir-relative resolution does not exist."""
+    import json
+
+    ds = tmp_path / "train"
+    inner = ds / "train"
+    inner.mkdir(parents=True)
+    (inner / "0.png").write_bytes(b"x")
+    triples = [["train/0.png", "train/0_mask.png", "train/0.csv"]]
+    jpath = ds / "train.json"
+    jpath.write_text(json.dumps(triples))
+
+    out = load_dataset_json(str(jpath))
+    assert out[0][0] == str(inner / "0.png")
+
+    # and with the file ABSENT at the json-dir resolution, the reference
+    # repo-root layout is assumed (paths against the json's parent)
+    (inner / "0.png").unlink()
+    out = load_dataset_json(str(jpath))
+    assert out[0][0] == str(tmp_path / "train" / "0.png")
