@@ -100,6 +100,11 @@ def main() -> None:
                         "classification logits (framework extension: "
                         "avoids the saturated-tie / dead-channel "
                         "pathology; off = exact reference head)")
+    parser.add_argument("--backbone", default="mobilenetv2",
+                        choices=("mobilenetv2", "shufflenetv2"),
+                        help="backbone family; shufflenetv2 uses the "
+                             "published 1.5x configuration (the variant "
+                             "the reference ships but never trained)")
     parser.add_argument("--occluded-scenes", action="store_true",
                         help="allow overlapping objects (occlusion-noisy "
                         "ground truth; default uses clean non-overlapping "
@@ -147,7 +152,7 @@ def main() -> None:
     n_batches = len(raw_batches)
     print(f"{n_batches} train batches resident on device", flush=True)
 
-    builder = MobileNetV2SsdSegBuilder(
+    anchor_kwargs = dict(
         input_image_shape=model_cfg.input_image_shape,
         number_of_boxes_per_point=list(model_cfg.boxes_per_point),
         number_of_classes=model_cfg.number_of_classes,
@@ -158,6 +163,17 @@ def main() -> None:
         standard_deviations_centroids_offsets=enc_cfg.standard_deviations,
         detection_head_relu_max=0.0 if args.uncapped_head_logits else None,
     )
+    if args.backbone == "shufflenetv2":
+        from ssdseglib_tpu.models import ShuffleNetV2SsdSegBuilder
+
+        builder = ShuffleNetV2SsdSegBuilder(
+            model_size="1.5x",
+            use_additional_depthwise_convolution=True,
+            use_residual_connections=True,
+            **anchor_kwargs,
+        )
+    else:
+        builder = MobileNetV2SsdSegBuilder(**anchor_kwargs)
     model = builder.get_model_for_training(
         segmentation_dilation_rates=model_cfg.segmentation_dilation_rates
     )

@@ -803,7 +803,11 @@ class ShuffleNetV2SsdSegBuilder(_BuilderBase):
         width_boxes_default,
         height_boxes_default,
         standard_deviations_centroids_offsets,
+        **model_kwargs,
     ) -> None:
+        """model_kwargs: extra ModelConfig fields beyond the reference ctor
+        surface (e.g. detection_head_relu_max=0.0 for uncapped logits),
+        same as MobileNetV2SsdSegBuilder."""
         if model_size not in STAGE_CHANNELS:
             raise ValueError(
                 'invalid "model_size" value! available values are '
@@ -822,4 +826,5 @@ class ShuffleNetV2SsdSegBuilder(_BuilderBase):
             shufflenet_size=model_size,
             shufflenet_extra_depthwise=use_additional_depthwise_convolution,
             shufflenet_residuals=use_residual_connections,
+            **model_kwargs,
         )
