@@ -58,6 +58,30 @@ def set_depthwise_impl(impl: str) -> None:
     DEPTHWISE_IMPL = impl
 
 
+# Depthwise BACKWARD lowering (forward stays XLA's conv either way):
+# 'pallas' routes stride-1 SAME 3x3 depthwise convs inside the measured
+# envelope (ops/depthwise_backward.pallas_bwd_applicable — in the flagship
+# model that is block0-dw, the single most expensive backward op in the
+# round-3 train profile at 4.08 ms) through the fused one-pass Pallas
+# dgrad+wgrad kernel; everything else keeps XLA's vjp.  Measured A/B on
+# v5e (tests/tpu_scripts/dw_bwd_ab.py, interleaved best-of-2): 'pallas'
+# LOSES e2e 59.0 -> 62.0 ms/step despite a 1.3-1.4x standalone win on the
+# isolated op — the custom-call boundary un-fuses the BN/ReLU6 gradient
+# chains XLA folds into its own dw-backward convs.  Kept as a
+# parity-tested opt-in negative result (docs/PERFORMANCE.md round 3).
+# Trace-time switch: set before building/jitting a model.
+DEPTHWISE_BWD_IMPL = "xla"
+
+
+def set_depthwise_bwd_impl(impl: str) -> None:
+    global DEPTHWISE_BWD_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"depthwise bwd impl must be 'xla' or 'pallas', got {impl!r}"
+        )
+    DEPTHWISE_BWD_IMPL = impl
+
+
 def set_wgrad_impl(impl: str) -> None:
     global WGRAD_IMPL
     if impl not in ("xla", "dot"):
@@ -160,6 +184,27 @@ class _ShiftDepthwiseConv(nn.Module):
         )
 
 
+class _PallasBwdDepthwiseConv(nn.Module):
+    """Drop-in for `nn.Conv(feature_group_count=C)` with the fused Pallas
+    backward (ops/depthwise_backward.py).  IDENTICAL parameter name/shape
+    ('kernel', (3, 3, 1, C)) and bit-identical forward, so checkpoints,
+    the Keras importer and golden tests are impl-agnostic."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ssdseglib_tpu.ops.depthwise_backward import (
+            depthwise_conv3x3_fused_bwd,
+        )
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, x.shape[-1]),
+            jnp.float32,
+        )
+        return depthwise_conv3x3_fused_bwd(x, kernel.astype(x.dtype))
+
+
 def depthwise_conv(
     x: jnp.ndarray,
     kernel_size,
@@ -176,6 +221,14 @@ def depthwise_conv(
             name=name,
         )(x)
     channels = x.shape[-1]
+    if DEPTHWISE_BWD_IMPL == "pallas":
+        from ssdseglib_tpu.ops.depthwise_backward import pallas_bwd_applicable
+
+        _, h, w, c = x.shape
+        if pallas_bwd_applicable(
+            h, w, c, _pair(kernel_size), _pair(strides), _pair(dilation)
+        ):
+            return _PallasBwdDepthwiseConv(name=name)(x)
     if WGRAD_IMPL == "dot":
         return _FastWgradConv(
             features=channels,
