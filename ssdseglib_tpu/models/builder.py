@@ -620,7 +620,7 @@ class InferenceModel:
         if self.mesh is not None:
             from ssdseglib_tpu.parallel import mesh as mesh_lib
 
-            images = mesh_lib.shard_batch(self.mesh, images)
+            images = mesh_lib.shard_images(self.mesh, images)
         return images
 
     def __call__(self, images):

@@ -12,14 +12,24 @@ from ssdseglib_tpu.parallel.mesh import (
     replicate_sharding,
     batch_sharding,
     shard_batch,
+    shard_images,
     replicate,
+)
+from ssdseglib_tpu.parallel.spatial import (
+    SPATIAL_AXIS,
+    make_hybrid_mesh,
+    image_sharding,
 )
 
 __all__ = [
     "BATCH_AXIS",
+    "SPATIAL_AXIS",
     "make_mesh",
+    "make_hybrid_mesh",
     "replicate_sharding",
     "batch_sharding",
+    "image_sharding",
     "shard_batch",
+    "shard_images",
     "replicate",
 ]

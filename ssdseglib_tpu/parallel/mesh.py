@@ -68,3 +68,13 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+def shard_images(mesh: Mesh, images):
+    """Device-put an image batch (B, H, W, C): batch over the data axis
+    and, when the mesh has a 'spatial' axis (parallel/spatial.py), height
+    over it — XLA GSPMD inserts the conv halo exchanges.  Identical to
+    `shard_batch` on a plain 1-D data mesh."""
+    from ssdseglib_tpu.parallel import spatial as spatial_lib
+
+    return spatial_lib.shard_images(mesh, images)

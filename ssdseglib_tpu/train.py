@@ -458,7 +458,7 @@ class Trainer:
             else:
                 for images, targets in _epoch_iter(train_data):
                     if mesh is not None:
-                        images = mesh_lib.shard_batch(mesh, images)
+                        images = mesh_lib.shard_images(mesh, images)
                         targets = mesh_lib.shard_batch(mesh, targets)
                     state, metrics = train_step(state, images, targets)
                     n += 1
@@ -482,7 +482,7 @@ class Trainer:
                 else:
                     for images, targets in _epoch_iter(validation_data):
                         if mesh is not None:
-                            images = mesh_lib.shard_batch(mesh, images)
+                            images = mesh_lib.shard_images(mesh, images)
                             targets = mesh_lib.shard_batch(mesh, targets)
                         metrics = eval_step(state, images, targets)
                         vn += 1
