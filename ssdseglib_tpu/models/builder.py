@@ -286,6 +286,8 @@ class InferenceModel:
         fused_max_batch: int = 16,
         input_layout: str = "default",
         input_layout_batch: int = 16,
+        quantize_pointwise: bool = False,
+        calibration_images=None,
     ) -> None:
         """compute_dtype: 'bfloat16' selects the serving fast path — params
         and conv compute in bf16 on the MXU (+~25% throughput on v5e, mask
@@ -325,6 +327,11 @@ class InferenceModel:
                 "mask_output must be 'float32', 'bfloat16' or 'class_map', "
                 f"got {mask_output!r}"
             )
+        if quantize_pointwise and not fused_backbone:
+            raise ValueError(
+                "quantize_pointwise requires fused_backbone=True (the int8 "
+                "pointwise convs live in the folded-heads serving path)"
+            )
         self.module = module
         variables_f32 = variables  # keep full precision for BN folding
         self.variables = variables
@@ -358,7 +365,9 @@ class InferenceModel:
 
             # fold BN from the f32 variables, then cast to the compute dtype
             fused_forward = make_fused_forward(
-                module.cfg, variables_f32, compute_dtype=self._compute_dtype
+                module.cfg, variables_f32, compute_dtype=self._compute_dtype,
+                quantize_pointwise=quantize_pointwise,
+                calibration_images=calibration_images,
             )
             self._fused_forward = fused_forward
 
@@ -707,6 +716,8 @@ class _BuilderBase:
         mask_output: str = "float32",
         input_layout: str = "default",
         input_layout_batch: int = 16,
+        quantize_pointwise: bool = False,
+        calibration_images=None,
     ) -> InferenceModel:
         """Args:
             model_trained: the trained variables pytree (params +
@@ -719,6 +730,10 @@ class _BuilderBase:
             input_layout / input_layout_batch: 'auto' pre-compiles an
                 XLA-chosen-layout executable for one batch shape and kills
                 the input relayout copy (InferenceModel docstring).
+            quantize_pointwise / calibration_images: opt-in int8 PTQ of
+                the two pointwise convs with a measured int8 MXU win
+                (fused_inference.QUANT_TARGETS); requires fused_backbone
+                and a representative calibration batch in [0, 255].
         """
         if isinstance(model_trained, tuple):
             trainable, variables = model_trained
@@ -753,6 +768,8 @@ class _BuilderBase:
             mask_output=mask_output,
             input_layout=input_layout,
             input_layout_batch=input_layout_batch,
+            quantize_pointwise=quantize_pointwise,
+            calibration_images=calibration_images,
         )
 
 

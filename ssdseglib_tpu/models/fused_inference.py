@@ -57,6 +57,64 @@ def _conv(x, kernel, bias, stride: int = 1, depthwise: bool = False,
     return y
 
 
+def _quantize_weight_int8(kernel):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    kernel: (kh, kw, Ci, Co) f32 -> (int8 kernel, (Co,) f32 dequant scale).
+    """
+    k = np.asarray(kernel, np.float32)
+    amax = np.max(np.abs(k), axis=(0, 1, 2))
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    kq = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    return kq, scale
+
+
+def _conv_int8(x, kq, w_scale, x_scale, bias):
+    """Pointwise conv in s8 x s8 -> s32 on the int8 MXU rate, with the
+    quantize / dequantize steps fused into the neighbouring XLA fusions.
+
+    Why int8 here and only here: XLA reaches the v5e 2x int8 MXU rate on
+    1x1/matmul-shaped convs but NOT on the dominant 3x3 mask-decoder conv
+    (measured: tests/tpu_scripts/int8_conv_probe.py, docs/PERFORMANCE.md
+    round-3 int8 feasibility).  Weights are per-output-channel symmetric;
+    activations per-tensor symmetric with a calibration-time static scale.
+    """
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / x_scale)), -127.0, 127.0
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (
+        jnp.asarray(w_scale, jnp.float32) * jnp.float32(x_scale)
+    )
+    if bias is not None:
+        y = y + jnp.asarray(bias, jnp.float32)
+    return y.astype(x.dtype)
+
+
+# Pointwise convs worth quantizing (measured int8 >= 1.3x standalone):
+# the ASPP input pointwise (1x1 576->256 @30x40, 1.65x) and the decoder
+# SepConv pointwise (1x1 256->256 @120x160, 1.39x).  Everything else
+# either shows no int8 speedup (3x3 convs) or is too small to matter.
+QUANT_TARGETS = ("mask-encoder/aspp-pointwise", "mask-decoder/sepconv-pw")
+
+
+def quantize_pointwise_weights(folded_heads_f32):
+    """Build the int8 weight tables for QUANT_TARGETS from the f32 folded
+    heads: {target: (int8 kernel, (Co,) w_scale, f32 bias)}."""
+    k1, b1 = folded_heads_f32["mask-encoder/aspp-pointwise"]
+    _, pw2, b2 = folded_heads_f32["mask-decoder/sepconv"]
+    out = {}
+    kq, ws = _quantize_weight_int8(k1)
+    out["mask-encoder/aspp-pointwise"] = (kq, ws, np.asarray(b1, np.float32))
+    kq, ws = _quantize_weight_int8(pw2)
+    out["mask-decoder/sepconv-pw"] = (kq, ws, np.asarray(b2, np.float32))
+    return out
+
+
 def _act(x, relu_max):
     """Reference activation convention (models/blocks.py): None = no
     activation, 0.0 = uncapped ReLU, > 0 = capped ReLU."""
@@ -131,7 +189,7 @@ def fold_heads(variables, cfg: ModelConfig) -> Dict[str, tuple]:
 
 
 def heads_forward_folded(cfg: ModelConfig, folded: Dict[str, tuple],
-                         fm1, fm2, skip):
+                         fm1, fm2, skip, quant=None, collect_amax=False):
     """BN-folded, concat-free forward of the task heads.
 
     Numerically equivalent (at folding/rounding level) to
@@ -159,7 +217,17 @@ def heads_forward_folded(cfg: ModelConfig, folded: Dict[str, tuple],
     # -- ASPP encoder (reference blocks.py:4-74): the output pointwise conv
     # over the 5-branch concat runs as 5 sliced matmuls summed; the pooled
     # branch's contribution is spatially constant, so it enters as a bias.
-    pw_out = _act(_conv(fm1, *folded["mask-encoder/aspp-pointwise"]), relu_max)
+    amaxes = {}
+    if collect_amax:
+        amaxes["mask-encoder/aspp-pointwise"] = jnp.max(jnp.abs(fm1))
+    if quant and "mask-encoder/aspp-pointwise" in quant:
+        pw_out = _act(
+            _conv_int8(fm1, *quant["mask-encoder/aspp-pointwise"]), relu_max
+        )
+    else:
+        pw_out = _act(
+            _conv(fm1, *folded["mask-encoder/aspp-pointwise"]), relu_max
+        )
     atrous = [
         sep(fm1, f"mask-encoder/aspp-atrous{i + 1}", dilation=rate)
         for i, rate in enumerate(cfg.segmentation_dilation_rates)
@@ -181,7 +249,16 @@ def heads_forward_folded(cfg: ModelConfig, folded: Dict[str, tuple],
     kc, bc = folded["mask-decoder/conv"]  # (3, 3, F + 48, F)
     x = _conv(enc_up, kc[:, :, :F], None) + _conv(red, kc[:, :, F:], bc)
     x = _act(x, relu_max)
-    x = sep(x, "mask-decoder/sepconv")
+    # decoder SepConv, split so the pointwise half can run int8
+    dw_k, pw_k, b_sep = folded["mask-decoder/sepconv"]
+    dw_out = _conv(x, dw_k, None, depthwise=True)
+    if collect_amax:
+        amaxes["mask-decoder/sepconv-pw"] = jnp.max(jnp.abs(dw_out))
+    if quant and "mask-decoder/sepconv-pw" in quant:
+        x = _act(_conv_int8(dw_out, *quant["mask-decoder/sepconv-pw"]),
+                 relu_max)
+    else:
+        x = _act(_conv(dw_out, pw_k, b_sep), relu_max)
     (k_out,) = folded["mask-decoder/output-conv"]
     x = _conv(x, k_out, None)
     x = bilinear_resize(x, cfg.input_image_shape[0], cfg.input_image_shape[1])
@@ -215,8 +292,11 @@ def heads_forward_folded(cfg: ModelConfig, folded: Dict[str, tuple],
         ],
         axis=1,
     )
-    return {"output-mask": mask, "output-labels": labels,
-            "output-boxes": boxes}
+    outputs = {"output-mask": mask, "output-labels": labels,
+               "output-boxes": boxes}
+    if collect_amax:
+        return outputs, amaxes
+    return outputs
 
 
 def fold_stem_rescale(kernel, bias, input_hw):
@@ -348,10 +428,39 @@ def mobilenetv2_features_fused(
     return fm1, fm2, skip
 
 
+def calibrate_pointwise_scales(cfg: ModelConfig, variables, images,
+                               interpret: bool = False,
+                               compute_dtype=jnp.bfloat16):
+    """One pass of the folded pipeline over calibration images in the
+    SERVING compute dtype (the fused Pallas MBConv programs are VMEM-sized
+    for bf16; and calibrating in the dtype that will actually run is the
+    representative choice), recording the input amax of every
+    QUANT_TARGETS conv.  Returns {target: float amax}."""
+    folded = fold_mobilenetv2(variables)
+    heads_folded = fold_heads(variables, cfg)
+
+    def run(imgs):
+        x = imgs.astype(compute_dtype) / jnp.asarray(
+            127.5, compute_dtype
+        ) - jnp.asarray(1.0, compute_dtype)
+        fm1, fm2, skip = mobilenetv2_features_fused(
+            folded, x, interpret=interpret
+        )
+        _, amaxes = heads_forward_folded(
+            cfg, heads_folded, fm1, fm2, skip, collect_amax=True
+        )
+        return amaxes
+
+    amaxes = jax.jit(run)(jnp.asarray(images))
+    return {k: float(v) for k, v in amaxes.items()}
+
+
 def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, s2d_stem=False,
                        s2d_row_tile: int = 4, fused_heads: bool = True,
-                       fold_input_rescale: bool = True):
+                       fold_input_rescale: bool = True,
+                       quantize_pointwise: bool = False,
+                       calibration_images=None):
     """Build a fused-backbone forward with the same signature/outputs as
     `SsdSegModel.apply(variables, images, train=False)`.
 
@@ -362,9 +471,22 @@ def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
     (typically uint8) input directly; disabled automatically under the s2d
     stem experiment, and bypassed at trace time for input spatial shapes
     other than cfg.input_image_shape (the border-correction bias map is
-    shape-specific)."""
+    shape-specific).
+
+    quantize_pointwise: run the QUANT_TARGETS pointwise convs in int8
+    (per-output-channel weight scales, per-tensor activation scales
+    calibrated on `calibration_images` — required, a representative image
+    batch in [0, 255]).  Opt-in post-training quantization; requires
+    fused_heads.  See _conv_int8 for the measured rationale."""
     if cfg.backbone != "mobilenetv2":
         raise ValueError("fused inference currently supports mobilenetv2 only")
+    if quantize_pointwise and not fused_heads:
+        raise ValueError("quantize_pointwise requires fused_heads=True")
+    if quantize_pointwise and calibration_images is None:
+        raise ValueError(
+            "quantize_pointwise requires calibration_images (a "
+            "representative batch in [0, 255]) for the activation scales"
+        )
 
     folded_f32 = fold_mobilenetv2(variables)
 
@@ -383,10 +505,25 @@ def make_fused_forward(cfg: ModelConfig, variables, compute_dtype=jnp.bfloat16,
         stem_folded["backbone-block0-expand"] = cast((k0, b0))
 
     if fused_heads:
-        heads_folded = cast(fold_heads(variables, cfg))
+        heads_folded_f32 = fold_heads(variables, cfg)
+        heads_folded = cast(heads_folded_f32)
+        quant = None
+        if quantize_pointwise:
+            amaxes = calibrate_pointwise_scales(
+                cfg, variables, calibration_images, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+            quant = {
+                name: (kq, ws, max(amaxes[name], 1e-6) / 127.0, b)
+                for name, (kq, ws, b) in quantize_pointwise_weights(
+                    heads_folded_f32
+                ).items()
+            }
 
         def apply_heads(fm1, fm2, skip):
-            return heads_forward_folded(cfg, heads_folded, fm1, fm2, skip)
+            return heads_forward_folded(
+                cfg, heads_folded, fm1, fm2, skip, quant=quant
+            )
     else:
         from ssdseglib_tpu.models.builder import SsdSegHeads
 

@@ -194,3 +194,56 @@ def test_fused_auto_fallback_above_validated_batch():
     mask_p, det_p = plain.predict(images)
     np.testing.assert_allclose(mask_f, mask_p, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(det_f, det_p, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_pointwise_close_to_f32(setup):
+    """Opt-in int8 PTQ of the QUANT_TARGETS pointwise convs: mask output
+    stays close to the f32 folded path (per-channel weights + calibrated
+    per-tensor activation scales), and the detection heads — which do not
+    route through the quantized convs — are untouched."""
+    module, variables = setup
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32))
+
+    fused = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True
+    )
+    quantized = make_fused_forward(
+        CFG, variables, compute_dtype=jnp.float32, interpret=True,
+        quantize_pointwise=True, calibration_images=np.asarray(x),
+    )
+    ref = fused(x)
+    got = quantized(x)
+
+    # mask: softmax probabilities, int8 rounding tolerance
+    np.testing.assert_allclose(
+        np.asarray(got["output-mask"]), np.asarray(ref["output-mask"]),
+        atol=0.05,
+    )
+    mean_err = float(np.mean(np.abs(
+        np.asarray(got["output-mask"]) - np.asarray(ref["output-mask"])
+    )))
+    assert mean_err < 5e-3, mean_err
+    # detection heads do not pass through the quantized convs
+    np.testing.assert_allclose(
+        np.asarray(got["output-labels"]), np.asarray(ref["output-labels"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["output-boxes"]), np.asarray(ref["output-boxes"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_quantized_pointwise_requires_calibration(setup):
+    module, variables = setup
+    with pytest.raises(ValueError, match="calibration_images"):
+        make_fused_forward(
+            CFG, variables, interpret=True, quantize_pointwise=True
+        )
+    with pytest.raises(ValueError, match="fused_heads"):
+        make_fused_forward(
+            CFG, variables, interpret=True, quantize_pointwise=True,
+            fused_heads=False,
+            calibration_images=np.zeros((1, 96, 128, 3), np.float32),
+        )
