@@ -34,6 +34,7 @@ from ssdseglib_tpu import plot
 
 # TPU-native additions beyond the reference surface (lazy-import heavy ones)
 from ssdseglib_tpu import checkpoint
+from ssdseglib_tpu import export
 from ssdseglib_tpu import keras_import
 from ssdseglib_tpu import parallel
 from ssdseglib_tpu import train
@@ -53,6 +54,7 @@ __all__ = [
     "ops",
     "plot",
     "checkpoint",
+    "export",
     "keras_import",
     "parallel",
     "train",

@@ -1,0 +1,246 @@
+"""Self-contained AOT serving bundles via `jax.export` (StableHLO).
+
+The reference framework deploys by pickling a Keras model
+(`model.save(...)` / `load_model(...)`, reference notebook 03 cells 19/25),
+which ships *code*: loading requires the full framework and re-traces /
+re-compiles the graph on every process start.  The TPU-native equivalent
+of a deployment artifact is the *compiled program itself*: this module
+serializes an `InferenceModel`'s jitted end-to-end serving function
+(forward -> decode -> gate -> NMS) to versioned StableHLO with
+`jax.export`, together with every non-image operand (weights, anchor
+constants, NMS thresholds), into one directory that can be reloaded and
+served WITHOUT the model-building code, with zero retracing.
+
+Layout of a bundle directory:
+
+    program.stablehlo   jax.export serialization of the serving program
+    operands.npz        every non-image leaf of the program's argument
+                        pytree, keyed by its flatten position
+    metadata.json       image shape/dtype, leaf slots, platforms,
+                        mask_output, jax version
+
+The NMS thresholds stay *runtime arguments* of the exported program (the
+same design that lets `set_nms_operating_point` retune a live
+`InferenceModel` without recompiling — reference notebook 03 cell 21 grid
+searches rebuild the whole Keras graph per point), so a loaded bundle can
+be retuned too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_PROGRAM_FILE = "program.stablehlo"
+_OPERANDS_FILE = "operands.npz"
+_METADATA_FILE = "metadata.json"
+
+
+class _Slot:
+    """Unique placeholder leaf marking a runtime argument position."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+
+def save_serving_bundle(
+    infer,
+    path: str,
+    *,
+    batch: int,
+    image_dtype: str = "uint8",
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Export `infer`'s serving program for one batch shape into `path`.
+
+    infer: an `InferenceModel` (models/builder.py).  The exported program
+        is the one `infer(images)` would run at this batch size — the
+        fused-backbone program when enabled and `batch` is within its
+        validated ceiling, else the plain-XLA program.  With
+        `input_layout='auto'` the default-layout program is exported (the
+        AUTO executable is an AOT artifact of *this* process's runtime and
+        not portable).
+    batch: the batch size baked into the exported program (XLA programs
+        are static-shape; serve other batch sizes from separate bundles).
+    image_dtype: dtype of the image input the bundle will accept.  uint8
+        is what the PNG decode path produces; the program casts + rescales
+        on device.
+    platforms: optional lowering platforms (e.g. ("tpu",) or
+        ("cpu", "tpu")); defaults to the current backend.
+    """
+    import jax
+    from jax import export as jax_export
+
+    if getattr(infer, "mesh", None) is not None:
+        raise ValueError(
+            "save_serving_bundle exports a single-device program; "
+            "build the InferenceModel without mesh="
+        )
+
+    h, w, c = infer.module.cfg.input_image_shape
+    program = (
+        infer._forward_program
+        if infer._fused_batch_ok(
+            np.zeros((batch, 0, 0, 0), np.uint8)
+        )
+        else infer._fallback_programs[0]
+    )
+
+    images_slot = _Slot("images")
+    iou_slot = _Slot("iou_threshold")
+    score_slot = _Slot("score_threshold")
+    args = (
+        infer.variables,
+        infer._anchors_centroids,
+        images_slot,
+        iou_slot,
+        score_slot,
+    )
+    leaves, _ = jax.tree_util.tree_flatten(args)
+    slots = {}
+    operands = {}
+    operand_dtypes = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, _Slot):
+            slots[leaf.name] = i
+        else:
+            arr = np.asarray(leaf)
+            key = f"op_{i:05d}"
+            operands[key] = arr
+            # np.load returns extension dtypes (bfloat16, ...) as raw
+            # void bytes; record the dtype so the loader can view-cast
+            operand_dtypes[key] = str(arr.dtype)
+
+    # abstract avals for the export trace: real shapes/dtypes for the
+    # stored operands, the requested image spec for the runtime slot
+    def aval(i, leaf):
+        if isinstance(leaf, _Slot):
+            if leaf.name == "images":
+                return jax.ShapeDtypeStruct(
+                    (batch, h, w, c), np.dtype(image_dtype)
+                )
+            return jax.ShapeDtypeStruct((), np.float32)
+        return jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype)
+
+    aval_leaves = [aval(i, leaf) for i, leaf in enumerate(leaves)]
+    treedef = jax.tree_util.tree_structure(args)
+    aval_args = jax.tree_util.tree_unflatten(treedef, aval_leaves)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(program, **kwargs)(*aval_args)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM_FILE), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(path, _OPERANDS_FILE), **operands)
+    meta = {
+        "format_version": 1,
+        "batch": batch,
+        "image_shape": [batch, h, w, c],
+        "image_dtype": str(np.dtype(image_dtype)),
+        "slots": slots,
+        "operand_dtypes": operand_dtypes,
+        "num_leaves": len(leaves),
+        "platforms": list(exported.platforms),
+        "mask_output": infer._mask_output,
+        "default_iou_threshold": float(np.asarray(infer._iou_threshold)),
+        "default_score_threshold": float(
+            np.asarray(infer._score_threshold)
+        ),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, _METADATA_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class ServingBundle:
+    """A reloaded serving program: `bundle(images) -> (mask, detections)`.
+
+    Self-contained — needs jax and the bundle directory only, no model
+    code.  Thresholds are runtime-retunable via
+    `set_nms_operating_point`, mirroring the live `InferenceModel`.
+    """
+
+    def __init__(self, path: str) -> None:
+        import jax
+        from jax import export as jax_export
+
+        with open(os.path.join(path, _METADATA_FILE)) as f:
+            self.metadata = json.load(f)
+        with open(os.path.join(path, _PROGRAM_FILE), "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        data = np.load(os.path.join(path, _OPERANDS_FILE))
+        dtypes = self.metadata["operand_dtypes"]
+        # operands pinned on device once, like InferenceModel.variables;
+        # extension dtypes (bfloat16) come off disk as raw void bytes and
+        # are view-cast back (jax's import registers them with numpy)
+        self._operands = {}
+        for k, v in data.items():
+            want = np.dtype(dtypes[k])
+            if v.dtype != want:
+                v = v.view(want)
+            self._operands[k] = jax.device_put(v)
+        self._slots = {int(v): k for k, v in self.metadata["slots"].items()}
+        self._iou = np.float32(self.metadata["default_iou_threshold"])
+        self._score = np.float32(self.metadata["default_score_threshold"])
+        # jit the exported call once: exported.call re-traces per
+        # invocation otherwise (the executable itself is cached either way,
+        # but tracing is host time on the serving path)
+        self._call = jax.jit(
+            lambda args, kwargs: self._exported.call(*args, **kwargs)
+        )
+
+    def set_nms_operating_point(
+        self,
+        boxes_iou_threshold: Optional[float] = None,
+        labels_probability_threshold: Optional[float] = None,
+    ) -> None:
+        if boxes_iou_threshold is not None:
+            self._iou = np.float32(boxes_iou_threshold)
+        if labels_probability_threshold is not None:
+            self._score = np.float32(labels_probability_threshold)
+
+    def __call__(self, images):
+        import jax
+
+        expect = tuple(self.metadata["image_shape"])
+        if tuple(np.shape(images)) != expect:
+            raise ValueError(
+                f"bundle was exported for images of shape {expect}, "
+                f"got {tuple(np.shape(images))} — export one bundle per "
+                "served batch size"
+            )
+        runtime = {
+            "images": images,
+            "iou_threshold": self._iou,
+            "score_threshold": self._score,
+        }
+        leaves = [
+            runtime[self._slots[i]]
+            if i in self._slots
+            else self._operands[f"op_{i:05d}"]
+            for i in range(self.metadata["num_leaves"])
+        ]
+        args, kwargs = jax.tree_util.tree_unflatten(
+            self._exported.in_tree, leaves
+        )
+        return self._call(args, kwargs)
+
+    def predict(self, images):
+        """NumPy-in/NumPy-out convenience, matching
+        `InferenceModel.predict`'s output conventions."""
+        mask, det = self(images)
+        mask, det = np.asarray(mask), np.asarray(det)
+        if mask.dtype != np.uint8 and mask.dtype != np.float32:
+            mask = mask.astype(np.float32)
+        return mask, det
+
+
+def load_serving_bundle(path: str) -> ServingBundle:
+    """Load a bundle written by `save_serving_bundle`."""
+    return ServingBundle(path)

@@ -635,6 +635,19 @@ class InferenceModel:
     def __call__(self, images):
         return self._forward(self.variables, self._prepare(images))
 
+    def export_serving_bundle(
+        self, path: str, *, batch: int, **kwargs
+    ) -> None:
+        """Serialize this model's serving program + operands into a
+        self-contained AOT deployment bundle (StableHLO via `jax.export`)
+        reloadable with `ssdseglib_tpu.export.load_serving_bundle` — the
+        TPU-native replacement for the reference's code-shipping
+        `model.save` deployment (reference notebook 03 cells 19/25).  See
+        `ssdseglib_tpu.export.save_serving_bundle`."""
+        from ssdseglib_tpu.export import save_serving_bundle
+
+        save_serving_bundle(self, path, batch=batch, **kwargs)
+
     def predict(self, images):
         """NumPy-in/NumPy-out convenience, applying the optional host-side
         background-box filter (reference layers.py:165-166).  With

@@ -1,0 +1,134 @@
+"""AOT serving bundles (`ssdseglib_tpu.export`): save / reload / bit-exact.
+
+The bundle replaces the reference's code-shipping deployment
+(`model.save` / `load_model`, reference notebook 03 cells 19/25) with a
+serialized StableHLO program + operands; a reloaded bundle must reproduce
+the live `InferenceModel` exactly, including runtime NMS retuning.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ssdseglib_tpu.export import load_serving_bundle, save_serving_bundle
+from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
+
+N_BOXES = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+
+
+def _infer(**kw):
+    rng = np.random.default_rng(0)
+    builder = MobileNetV2SsdSegBuilder(
+        input_image_shape=(96, 128, 3),
+        number_of_boxes_per_point=6,
+        number_of_classes=4,
+        center_x_boxes_default=rng.uniform(0, 128, N_BOXES).astype(np.float32),
+        center_y_boxes_default=rng.uniform(0, 96, N_BOXES).astype(np.float32),
+        width_boxes_default=rng.uniform(5, 40, N_BOXES).astype(np.float32),
+        height_boxes_default=rng.uniform(5, 40, N_BOXES).astype(np.float32),
+        standard_deviations_centroids_offsets=(0.1, 0.1, 0.2, 0.2),
+    )
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+    return builder.get_model_for_inference(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.4,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+        **kw,
+    )
+
+
+def _images(batch=2):
+    rng = np.random.default_rng(1)
+    return rng.uniform(0, 255, (batch, 96, 128, 3)).astype(np.uint8)
+
+
+def test_bundle_roundtrip_bit_exact(tmp_path):
+    infer = _infer()
+    path = str(tmp_path / "bundle")
+    save_serving_bundle(infer, path, batch=2)
+
+    bundle = load_serving_bundle(path)
+    images = _images()
+    mask_live, det_live = infer(images)
+    mask_b, det_b = bundle(images)
+    np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(mask_live))
+    np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_live))
+
+    # predict() convenience mirrors InferenceModel conventions
+    mask_np, det_np = bundle.predict(images)
+    assert mask_np.dtype == np.float32
+    np.testing.assert_array_equal(det_np, np.asarray(det_live))
+
+
+def test_bundle_bf16_operands_roundtrip(tmp_path):
+    """bf16 weights survive the npz void-bytes round trip (view-cast)."""
+    infer = _infer(compute_dtype="bfloat16", mask_output="bfloat16")
+    path = str(tmp_path / "bundle16")
+    save_serving_bundle(infer, path, batch=2)
+
+    bundle = load_serving_bundle(path)
+    images = _images()
+    mask_live, det_live = infer(images)
+    mask_b, det_b = bundle(images)
+    assert np.asarray(mask_b).dtype == np.asarray(mask_live).dtype
+    np.testing.assert_array_equal(
+        np.asarray(mask_b).astype(np.float32),
+        np.asarray(mask_live).astype(np.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_live))
+
+
+def test_bundle_nms_retune_without_recompile(tmp_path):
+    """Thresholds stay runtime args of the exported program."""
+    infer = _infer()
+    path = str(tmp_path / "bundle_tune")
+    save_serving_bundle(infer, path, batch=2)
+    bundle = load_serving_bundle(path)
+    images = _images()
+
+    infer.set_nms_operating_point(
+        boxes_iou_threshold=0.1, labels_probability_threshold=0.9
+    )
+    bundle.set_nms_operating_point(
+        boxes_iou_threshold=0.1, labels_probability_threshold=0.9
+    )
+    _, det_live = infer(images)
+    _, det_b = bundle(images)
+    np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_live))
+
+
+def test_bundle_shape_guard(tmp_path):
+    infer = _infer()
+    path = str(tmp_path / "bundle_guard")
+    save_serving_bundle(infer, path, batch=2)
+    bundle = load_serving_bundle(path)
+    with pytest.raises(ValueError, match="exported for images of shape"):
+        bundle(_images(batch=3))
+
+
+def test_bundle_metadata(tmp_path):
+    infer = _infer()
+    path = str(tmp_path / "bundle_meta")
+    save_serving_bundle(infer, path, batch=4)
+    bundle = load_serving_bundle(path)
+    meta = bundle.metadata
+    assert meta["batch"] == 4
+    assert meta["image_shape"] == [4, 96, 128, 3]
+    assert meta["image_dtype"] == "uint8"
+    assert meta["platforms"]  # current backend recorded
+    assert meta["default_score_threshold"] == pytest.approx(0.3)
+
+
+def test_bundle_rejects_mesh():
+    infer = _infer()
+    infer.mesh = object()  # simulate a mesh-built model
+    with pytest.raises(ValueError, match="single-device"):
+        save_serving_bundle(infer, "/tmp/nope", batch=2)
