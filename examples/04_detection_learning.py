@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compile cache: fresh processes reuse compiled
+# programs (20-40 s/program on this relay) — utils/compile_cache.py
+from ssdseglib_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import argparse
 import dataclasses
 import json

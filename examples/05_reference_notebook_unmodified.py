@@ -121,6 +121,11 @@ def main() -> None:
     os.makedirs(workdir, exist_ok=True)
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
+    # persistent XLA compile cache (notebook 03 compiles several programs
+    # at 20-40 s each on this relay) — utils/compile_cache.py
+    from ssdseglib_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     synthesize_data(workdir)
     os.chdir(workdir)
     print(f"[runner] workdir {workdir}")
