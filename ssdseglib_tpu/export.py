@@ -18,6 +18,14 @@ Layout of a bundle directory:
                         pytree, keyed by its flatten position
     metadata.json       image shape/dtype, leaf slots, platforms,
                         mask_output, jax version
+    compiled_auto.pkl   (optional) the AUTO-input-layout compiled
+                        executable (jax.experimental.serialize_executable)
+                        when the exporting model was built with
+                        input_layout='auto' — loaded opportunistically on
+                        matching hardware for the full live-model
+                        throughput (1422 vs 1363 img/s through the
+                        StableHLO program, docs/PERFORMANCE.md round 3),
+                        with silent fallback elsewhere
 
 The NMS thresholds stay *runtime arguments* of the exported program (the
 same design that lets `set_nms_operating_point` retune a live
@@ -37,6 +45,7 @@ import numpy as np
 _PROGRAM_FILE = "program.stablehlo"
 _OPERANDS_FILE = "operands.npz"
 _METADATA_FILE = "metadata.json"
+_COMPILED_AUTO_FILE = "compiled_auto.pkl"
 
 
 class _Slot:
@@ -53,6 +62,7 @@ def save_serving_bundle(
     batch: int,
     image_dtype: str = "uint8",
     platforms: Optional[Sequence[str]] = None,
+    include_compiled: bool = True,
 ) -> None:
     """Export `infer`'s serving program for one batch shape into `path`.
 
@@ -70,6 +80,11 @@ def save_serving_bundle(
         on device.
     platforms: optional lowering platforms (e.g. ("tpu",) or
         ("cpu", "tpu")); defaults to the current backend.
+    include_compiled: when the model was built with input_layout='auto'
+        for this batch, additionally ship its compiled AUTO-layout
+        executable (serialize_executable) — hardware-specific, loaded
+        opportunistically with fallback to the portable StableHLO
+        program.
     """
     import jax
     from jax import export as jax_export
@@ -154,6 +169,35 @@ def save_serving_bundle(
         ),
         "jax_version": jax.__version__,
     }
+
+    auto = getattr(infer, "_auto", None)
+    if (
+        include_compiled
+        and auto is not None
+        and auto["batch"] == batch
+        and np.dtype(image_dtype) == np.uint8
+    ):
+        import pickle
+        import zlib
+
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = se.serialize(auto["program"])
+        with open(os.path.join(path, _COMPILED_AUTO_FILE), "wb") as f:
+            pickle.dump(
+                {
+                    "payload_zlib": zlib.compress(payload, level=6),
+                    "in_tree": in_tree,
+                    "out_tree": out_tree,
+                },
+                f,
+            )
+        meta["compiled_auto"] = {
+            "device_kind": jax.devices()[0].device_kind,
+            "platform": jax.devices()[0].platform,
+            "jax_version": jax.__version__,
+        }
+
     with open(os.path.join(path, _METADATA_FILE), "w") as f:
         json.dump(meta, f, indent=1)
 
@@ -194,6 +238,73 @@ class ServingBundle:
         self._call = jax.jit(
             lambda args, kwargs: self._exported.call(*args, **kwargs)
         )
+        self._compiled = self._try_load_compiled(path)
+
+    def _try_load_compiled(self, path: str):
+        """Opportunistically load the shipped AUTO-layout executable
+        (compiled_auto.pkl): same device kind + jax version only, silent
+        fallback to the portable StableHLO program otherwise.  Restores
+        the live model's full throughput (the in-program input relayout
+        copy the AUTO layout eliminates — docs/PERFORMANCE.md round 3)."""
+        import jax
+
+        meta = self.metadata.get("compiled_auto")
+        sidecar = os.path.join(path, _COMPILED_AUTO_FILE)
+        if not meta or not os.path.exists(sidecar):
+            return None
+        try:
+            dev = jax.devices()[0]
+            if (
+                dev.device_kind != meta["device_kind"]
+                or jax.__version__ != meta["jax_version"]
+            ):
+                return None
+            import pickle
+            import zlib
+
+            from jax.experimental import serialize_executable as se
+
+            with open(sidecar, "rb") as f:
+                blob = pickle.load(f)
+            payload = (
+                zlib.decompress(blob["payload_zlib"])
+                if "payload_zlib" in blob
+                else blob["payload"]
+            )
+            # single-device serving program: pin execution to device 0
+            # (the default is ALL local devices, which mis-shards on
+            # multi-device hosts, e.g. the 8-virtual-CPU test env)
+            loaded = se.deserialize_and_load(
+                payload,
+                blob["in_tree"],
+                blob["out_tree"],
+                execution_devices=[dev],
+            )
+            # stage the stored operands into the executable's chosen
+            # input formats (leaf order identical to the StableHLO
+            # program's: same argument pytree)
+            fmt_leaves, _ = jax.tree_util.tree_flatten(
+                loaded.input_formats
+            )
+            if len(fmt_leaves) != self.metadata["num_leaves"]:
+                return None
+            operands = {}
+            slot_formats = {}
+            for i in range(self.metadata["num_leaves"]):
+                if i in self._slots:
+                    slot_formats[self._slots[i]] = fmt_leaves[i]
+                else:
+                    key = f"op_{i:05d}"
+                    operands[key] = jax.device_put(
+                        self._operands[key], fmt_leaves[i]
+                    )
+            return {
+                "program": loaded,
+                "operands": operands,
+                "slot_formats": slot_formats,
+            }
+        except Exception:  # noqa: BLE001 — portability fallback by design
+            return None
 
     def set_nms_operating_point(
         self,
@@ -204,6 +315,18 @@ class ServingBundle:
             self._iou = np.float32(boxes_iou_threshold)
         if labels_probability_threshold is not None:
             self._score = np.float32(labels_probability_threshold)
+
+    def prepare_input(self, images):
+        """Stage an input batch in the serving program's preferred device
+        format (mirrors `InferenceModel.prepare_input`); plain device
+        placement when the shipped compiled executable is not in use."""
+        import jax
+
+        if self._compiled is not None:
+            return jax.device_put(
+                images, self._compiled["slot_formats"]["images"]
+            )
+        return jax.device_put(images)
 
     def __call__(self, images):
         import jax
@@ -220,6 +343,18 @@ class ServingBundle:
             "iou_threshold": self._iou,
             "score_threshold": self._score,
         }
+        if self._compiled is not None:
+            fmts = self._compiled["slot_formats"]
+            leaves = [
+                jax.device_put(runtime[self._slots[i]], fmts[self._slots[i]])
+                if i in self._slots
+                else self._compiled["operands"][f"op_{i:05d}"]
+                for i in range(self.metadata["num_leaves"])
+            ]
+            args, kwargs = jax.tree_util.tree_unflatten(
+                self._exported.in_tree, leaves
+            )
+            return self._compiled["program"](*args, **kwargs)
         leaves = [
             runtime[self._slots[i]]
             if i in self._slots

@@ -6,6 +6,9 @@ serialized StableHLO program + operands; a reloaded bundle must reproduce
 the live `InferenceModel` exactly, including runtime NMS retuning.
 """
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -132,3 +135,64 @@ def test_bundle_rejects_mesh():
     infer.mesh = object()  # simulate a mesh-built model
     with pytest.raises(ValueError, match="single-device"):
         save_serving_bundle(infer, "/tmp/nope", batch=2)
+
+
+def test_bundle_ships_and_loads_compiled_auto_executable(tmp_path):
+    """With input_layout='auto', the bundle carries the compiled
+    AUTO-layout executable and a same-hardware reload serves through it
+    bit-exactly (docs/PERFORMANCE.md round 3: restores the live model's
+    1422 img/s vs 1363 through the portable StableHLO program)."""
+    infer = _infer(input_layout="auto", input_layout_batch=2)
+    path = str(tmp_path / "bundle_auto")
+    save_serving_bundle(infer, path, batch=2)
+    assert os.path.exists(os.path.join(path, "compiled_auto.pkl"))
+
+    bundle = load_serving_bundle(path)
+    assert bundle._compiled is not None, "sidecar should load on same HW"
+    images = _images()
+    mask_live, det_live = infer(infer.prepare_input(images))
+    staged = bundle.prepare_input(images)
+    mask_b, det_b = bundle(staged)
+    np.testing.assert_array_equal(np.asarray(mask_live), np.asarray(mask_b))
+    np.testing.assert_array_equal(np.asarray(det_live), np.asarray(det_b))
+
+    # unstaged host input works too (device_put staging inside __call__)
+    mask_c, det_c = bundle(images)
+    np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_c))
+
+    # NMS retune flows through the compiled executable (runtime args)
+    bundle.set_nms_operating_point(labels_probability_threshold=0.9)
+    infer.set_nms_operating_point(labels_probability_threshold=0.9)
+    _, det_live2 = infer(infer.prepare_input(images))
+    _, det_b2 = bundle(bundle.prepare_input(images))
+    np.testing.assert_array_equal(np.asarray(det_live2), np.asarray(det_b2))
+
+
+def test_bundle_compiled_sidecar_optional_and_fallback(tmp_path):
+    infer_auto = _infer(input_layout="auto", input_layout_batch=2)
+    # include_compiled=False: no sidecar written
+    p1 = str(tmp_path / "no_sidecar")
+    save_serving_bundle(infer_auto, p1, batch=2, include_compiled=False)
+    assert not os.path.exists(os.path.join(p1, "compiled_auto.pkl"))
+    assert load_serving_bundle(p1)._compiled is None
+
+    # no AUTO program (default layout): no sidecar either
+    p2 = str(tmp_path / "no_auto")
+    save_serving_bundle(_infer(), p2, batch=2)
+    assert not os.path.exists(os.path.join(p2, "compiled_auto.pkl"))
+
+    # foreign-hardware bundle: metadata mismatch -> silent fallback to the
+    # portable StableHLO program, results still exact
+    p3 = str(tmp_path / "foreign")
+    save_serving_bundle(infer_auto, p3, batch=2)
+    meta_path = os.path.join(p3, "metadata.json")
+    meta = json.loads(open(meta_path).read())
+    meta["compiled_auto"]["device_kind"] = "some other chip"
+    open(meta_path, "w").write(json.dumps(meta))
+    bundle = load_serving_bundle(p3)
+    assert bundle._compiled is None
+    images = _images()
+    mask_live, det_live = infer_auto(images)
+    mask_b, det_b = bundle(images)
+    np.testing.assert_array_equal(np.asarray(det_live), np.asarray(det_b))
+    np.testing.assert_array_equal(np.asarray(mask_live), np.asarray(mask_b))

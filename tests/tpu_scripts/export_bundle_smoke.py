@@ -56,6 +56,8 @@ def main() -> None:
         compute_dtype="bfloat16",
         fused_backbone=True,
         mask_output="bfloat16",
+        input_layout="auto",
+        input_layout_batch=batch,
     )
 
     path = tempfile.mkdtemp(prefix="bundle_")
@@ -68,7 +70,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     bundle = load_serving_bundle(path)
-    print(f"load: {time.perf_counter() - t0:.1f}s")
+    print(
+        f"load: {time.perf_counter() - t0:.1f}s "
+        f"(compiled_auto sidecar active: {bundle._compiled is not None})"
+    )
 
     rng = np.random.default_rng(0)
     images = rng.uniform(0, 255, (batch, 480, 640, 3)).astype(np.uint8)
@@ -86,23 +91,33 @@ def main() -> None:
     # bench.py protocol: device-staged distinct inputs, pipelined
     # dispatch, fence by FETCHING a small leaf of the last output
     # (numpy inputs would re-upload 14.7 MB through the relay per call)
-    inputs = [
-        jax.device_put(
-            ((images.astype(np.float32) + i) % 256).astype(np.uint8)
-        )
-        for i in range(8)
-    ]
-    jax.block_until_ready(inputs)
-    outs = [bundle(inputs[i % 8]) for i in range(4)]  # post-reload warm
-    np.asarray(outs[-1][1])
-    steps = 32
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [bundle(inputs[i % 8]) for i in range(steps)]
+    def timed(b, label):
+        inputs = [
+            b.prepare_input(
+                ((images.astype(np.float32) + i) % 256).astype(np.uint8)
+            )
+            for i in range(8)
+        ]
+        jax.block_until_ready(inputs)
+        outs = [b(inputs[i % 8]) for i in range(4)]  # post-reload warm
         np.asarray(outs[-1][1])
-        rates.append(steps * batch / (time.perf_counter() - t0))
-    print(f"bundle throughput: {sorted(rates)[1]:.1f} img/s (median of 3)")
+        steps = 32
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [b(inputs[i % 8]) for i in range(steps)]
+            np.asarray(outs[-1][1])
+            rates.append(steps * batch / (time.perf_counter() - t0))
+        print(f"{label}: {sorted(rates)[1]:.1f} img/s (median of 3)")
+
+    timed(bundle, "bundle throughput (compiled_auto sidecar)")
+
+    # A/B in the same process: the portable StableHLO program alone
+    sidecar = os.path.join(path, "compiled_auto.pkl")
+    os.rename(sidecar, sidecar + ".off")
+    plain = load_serving_bundle(path)
+    assert plain._compiled is None
+    timed(plain, "bundle throughput (StableHLO only)")
 
 
 if __name__ == "__main__":
