@@ -130,7 +130,10 @@ def average_precision_object_detection(
         tps = pairs[order, 0]
         precision = np.cumsum(tps) / np.arange(1, len(tps) + 1)
         recall = np.cumsum(tps) / gt_counter[label]
-        average_precision[label] = float(np.trapz(y=precision, x=recall))
+        # np.trapezoid is np.trapz renamed (numpy 2.0); same integration
+        # as the reference's np.trapz (reference evaluators.py:185)
+        trapezoid = getattr(np, "trapezoid", np.trapz)
+        average_precision[label] = float(trapezoid(y=precision, x=recall))
     return average_precision
 
 

@@ -96,19 +96,22 @@ def save_serving_bundle(
         )
 
     h, w, c = infer.module.cfg.input_image_shape
+    fused_ok = infer._fused_batch_ok(np.zeros((batch, 0, 0, 0), np.uint8))
     program = (
-        infer._forward_program
-        if infer._fused_batch_ok(
-            np.zeros((batch, 0, 0, 0), np.uint8)
-        )
-        else infer._fallback_programs[0]
+        infer._forward_program if fused_ok else infer._fallback_programs[0]
     )
+    # fused-backbone programs bake the folded weights into the traced
+    # graph as constants and never read the `variables` argument — ship an
+    # empty pytree in its place so the bundle doesn't carry (and the
+    # loader doesn't device-pin) a second, dead copy of every weight
+    use_fused = infer._fused_forward is not None and fused_ok
+    variables_arg = {} if use_fused else infer.variables
 
     images_slot = _Slot("images")
     iou_slot = _Slot("iou_threshold")
     score_slot = _Slot("score_threshold")
     args = (
-        infer.variables,
+        variables_arg,
         infer._anchors_centroids,
         images_slot,
         iou_slot,
@@ -163,6 +166,7 @@ def save_serving_bundle(
         "num_leaves": len(leaves),
         "platforms": list(exported.platforms),
         "mask_output": infer._mask_output,
+        "suppress_background_boxes": bool(infer._suppress_background),
         "default_iou_threshold": float(np.asarray(infer._iou_threshold)),
         "default_score_threshold": float(
             np.asarray(infer._score_threshold)
@@ -368,11 +372,17 @@ class ServingBundle:
 
     def predict(self, images):
         """NumPy-in/NumPy-out convenience, matching
-        `InferenceModel.predict`'s output conventions."""
+        `InferenceModel.predict`'s output conventions — including the
+        host-side background-box filter (reference layers.py:165-166)
+        when the exporting model was built with
+        suppress_background_boxes=True (recorded in metadata; absent in
+        pre-filter bundles, which never suppressed)."""
         mask, det = self(images)
         mask, det = np.asarray(mask), np.asarray(det)
         if mask.dtype != np.uint8 and mask.dtype != np.float32:
             mask = mask.astype(np.float32)
+        if self.metadata.get("suppress_background_boxes", False):
+            det = det[det[..., 0] > 0.0]
         return mask, det
 
 

@@ -475,17 +475,27 @@ class InferenceModel:
         # same batch-ceiling rule as _forward: never AOT-compile the fused
         # program above its validated batch (compile-helper crash —
         # docs/PERFORMANCE.md "batch > 16 root cause")
+        use_fused = (
+            self._fused_forward is not None
+            and (self._fused_max_batch is None
+                 or batch <= self._fused_max_batch)
+        )
         base_program = (
             self._forward_program
             if self._fused_max_batch is None or batch <= self._fused_max_batch
             else self._fallback_programs[0]
         )
+        # fused programs bake the folded weights in as constants and never
+        # read `variables`: compile the AUTO executable over an empty tree
+        # so the live model doesn't pin a second AUTO-format weight copy
+        # and exported bundles (export.py, same convention) stay aligned
+        auto_variables = {} if use_fused else self.variables
         auto_jit = jax.jit(
             lambda v, a, im, it, st: base_program(v, a, im, it, st),
             in_shardings=Format(Layout.AUTO),
         )
         compiled = auto_jit.lower(
-            self.variables,
+            auto_variables,
             self._anchors_centroids,
             jax.ShapeDtypeStruct((batch, h, w, c), jnp.uint8),
             self._iou_threshold,
@@ -497,7 +507,7 @@ class InferenceModel:
             "batch": batch,
             "image_format": im_fmt,
             "var_format": v_fmt,
-            "variables": jax.device_put(self.variables, v_fmt),
+            "variables": jax.device_put(auto_variables, v_fmt),
             "anchors": jax.device_put(self._anchors_centroids, a_fmt),
             "thr_formats": (it_fmt, st_fmt),
         }

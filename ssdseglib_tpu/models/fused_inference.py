@@ -436,6 +436,11 @@ def calibrate_pointwise_scales(cfg: ModelConfig, variables, images,
     for bf16; and calibrating in the dtype that will actually run is the
     representative choice), recording the input amax of every
     QUANT_TARGETS conv.  Returns {target: float amax}."""
+    # this pass runs EAGERLY at model-build time (unlike the lazily-jitted
+    # serving programs), so on a CPU backend the Pallas MBConv kernels
+    # must run in interpret mode (Mosaic is TPU-only) — same auto-detect
+    # as ops/depthwise_backward._fused_bwd
+    interpret = interpret or jax.default_backend() == "cpu"
     folded = fold_mobilenetv2(variables)
     heads_folded = fold_heads(variables, cfg)
 

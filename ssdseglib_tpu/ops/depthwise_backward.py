@@ -194,14 +194,18 @@ def pallas_bwd_applicable(h: int, w: int, c: int, kernel_size, strides,
     (v5e, tests/tpu_scripts/dw_backward_probe.py): stride-1 SAME 3x3,
     small channel count (C=32 won 1.3-1.4x; C=144 LOST 0.6-0.7x — its
     j*C lane shifts cross 128-lane register boundaries), big enough
-    spatial extent to matter, and a legal <=32 multiple-of-8 row tile."""
+    spatial extent to matter, and a legal <=32 multiple-of-8 row tile
+    (_row_tile's whole-H fallback can return a non-multiple-of-8 height,
+    which violates Mosaic's sublane tiling constraint — reject it)."""
+    tile = _row_tile(h, w * c)
     return (
         tuple(kernel_size) == (3, 3)
         and tuple(strides) == (1, 1)
         and tuple(dilation) == (1, 1)
         and c <= 64
         and h * w * c >= 1_000_000
-        and _row_tile(h, w * c) <= 32
+        and tile <= 32
+        and tile % 8 == 0
     )
 
 

@@ -419,9 +419,14 @@ class Trainer:
                 if _stage_fence[0] is not None:
                     jax.block_until_ready(_stage_fence[0])
                 if mesh is not None:
-                    put = lambda b: tuple(
-                        mesh_lib.shard_batch(mesh, a) for a in b
-                    )
+                    # raw batches lead with the image tensor
+                    # (TrainDataLoader.iter_raw: (images_u8, masks_u8,
+                    # ...)); images go through shard_images so a hybrid
+                    # data x spatial mesh shards the height axis too —
+                    # same convention as the non-fused branches below
+                    put = lambda b: (
+                        mesh_lib.shard_images(mesh, b[0]),
+                    ) + tuple(mesh_lib.shard_batch(mesh, a) for a in b[1:])
                 else:
                     put = jax.device_put
                 return [(k, put(b)) for k, b in chunk]

@@ -70,6 +70,9 @@ def test_applicability_gate():
     assert not ok(240, 320, 32, (3, 3), (1, 1), (2, 2))
     assert not ok(240, 320, 32, (5, 5), (1, 1), (1, 1))
     assert not ok(48, 64, 32, (3, 3), (1, 1), (1, 1))
+    # h=20: _row_tile's whole-H fallback (20) is <= 32 but not a multiple
+    # of 8 — violates Mosaic's sublane constraint, must be excluded
+    assert not ok(20, 800, 64, (3, 3), (1, 1), (1, 1))
 
 
 def test_blocks_switch_param_compat():

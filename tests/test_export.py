@@ -20,7 +20,7 @@ from ssdseglib_tpu.models import MobileNetV2SsdSegBuilder
 N_BOXES = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
 
 
-def _infer(**kw):
+def _infer(suppress_background_boxes=False, **kw):
     rng = np.random.default_rng(0)
     builder = MobileNetV2SsdSegBuilder(
         input_image_shape=(96, 128, 3),
@@ -42,7 +42,7 @@ def _infer(**kw):
         max_number_of_boxes_per_sample=10,
         boxes_iou_threshold=0.4,
         labels_probability_threshold=0.3,
-        suppress_background_boxes=False,
+        suppress_background_boxes=suppress_background_boxes,
         use_segmentation_suppression=True,
         **kw,
     )
@@ -87,6 +87,26 @@ def test_bundle_bf16_operands_roundtrip(tmp_path):
         np.asarray(mask_live).astype(np.float32),
     )
     np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_live))
+
+
+def test_bundle_predict_applies_background_filter(tmp_path):
+    """A bundle exported from a suppress_background_boxes=True model must
+    apply the same host-side class-0 filter as InferenceModel.predict
+    (reference layers.py:165-166) — recorded in metadata."""
+    infer = _infer(suppress_background_boxes=True)
+    path = str(tmp_path / "bundle_bg")
+    save_serving_bundle(infer, path, batch=2)
+    bundle = load_serving_bundle(path)
+    assert bundle.metadata["suppress_background_boxes"] is True
+
+    images = _images()
+    mask_live, det_live = infer.predict(images)
+    mask_b, det_b = bundle.predict(images)
+    np.testing.assert_array_equal(mask_b, mask_live)
+    np.testing.assert_array_equal(det_b, det_live)
+    # the filter flattens to (K, 6) rows, all non-background
+    assert det_b.ndim == 2 and det_b.shape[1] == 6
+    assert (det_b[:, 0] > 0.0).all()
 
 
 def test_bundle_nms_retune_without_recompile(tmp_path):

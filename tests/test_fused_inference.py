@@ -235,6 +235,28 @@ def test_quantized_pointwise_close_to_f32(setup):
     )
 
 
+def test_calibration_auto_interprets_on_cpu_backend(setup):
+    """calibrate_pointwise_scales runs EAGERLY at model-build time (the
+    serving programs are lazy jits) — on a CPU backend it must auto-select
+    Pallas interpret mode like ops/depthwise_backward._fused_bwd instead
+    of crashing with 'Only interpret mode is supported on CPU backend',
+    so get_model_for_inference(quantize_pointwise=True) constructs in the
+    test environment."""
+    from ssdseglib_tpu.models.fused_inference import (
+        calibrate_pointwise_scales,
+    )
+
+    module, variables = setup
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(0, 255, (1, 96, 128, 3)).astype(np.float32)
+    amaxes = calibrate_pointwise_scales(CFG, variables, imgs)  # no interpret
+    assert amaxes
+    # amax 0.0 is legitimate (dead ReLU path under random weights); the
+    # quantizer guards with max(amax, 1e-6).  The regression here is
+    # "constructs and returns finite stats", not the values themselves.
+    assert all(np.isfinite(v) and v >= 0 for v in amaxes.values())
+
+
 def test_quantized_pointwise_requires_calibration(setup):
     module, variables = setup
     with pytest.raises(ValueError, match="calibration_images"):

@@ -184,8 +184,11 @@ def test_spatial_train_step_matches_single_device(trainer, batch):
     assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-def test_spatial_fit_via_trainer_mesh_path(trainer, anchors):
-    """Trainer.fit(mesh=hybrid) routes images through shard_images."""
+def test_spatial_fit_via_trainer_mesh_path(trainer, anchors, monkeypatch):
+    """Trainer.fit(mesh=hybrid) routes images through shard_images — in
+    the fused-transform staged-upload path too (the primary
+    TrainDataLoader path), so the height axis is genuinely partitioned
+    over 'spatial' rather than silently replicated per group."""
     loader = TrainDataLoader(
         generate_dataset(8, image_shape=IMAGE_SHAPE, seed=5),
         anchors, ENC_CFG, batch_size=8,
@@ -193,9 +196,24 @@ def test_spatial_fit_via_trainer_mesh_path(trainer, anchors):
         shuffle=False,
     )
     mesh = spatial_lib.make_hybrid_mesh(2, 4, jax.devices()[:8])
+
+    import ssdseglib_tpu.train as train_mod
+
+    specs = []
+    orig = mesh_lib.shard_images
+
+    def spy(m, images):
+        out = orig(m, images)
+        specs.append(tuple(out.sharding.spec))
+        return out
+
+    monkeypatch.setattr(train_mod.mesh_lib, "shard_images", spy)
+
     state = trainer.init_state(jax.random.key(3), mesh=mesh)
     state, hist = trainer.fit(state, loader, epochs=1, mesh=mesh)
     assert np.isfinite(hist["loss"]).all()
+    assert specs, "staged upload must route images through shard_images"
+    assert all(spatial_lib.SPATIAL_AXIS in s for s in specs), specs
 
 
 def test_divisibility_errors():
