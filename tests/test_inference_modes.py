@@ -55,6 +55,61 @@ def test_bf16_serving_close_to_f32():
     np.testing.assert_allclose(det16[..., 1], det32[..., 1], atol=0.02)
 
 
+def test_predict_batched_single_program_any_n():
+    """predict_batched serves an arbitrary N through one compiled batch:
+    chunks + repeat-pads the ragged tail + slices back.  Real rows must
+    be (a) exactly the padded-batch rows by construction and (b) equal
+    to serving the tail directly — repeat-padding adds no new classes to
+    the batch-global segmentation-suppression presence set (reference
+    layers.py:207), so the quirk gates identically."""
+    n_boxes = (6 * 8 + 3 * 4 + 2 * 2 + 1 * 1) * 6
+    builder = _builder(n_boxes)
+    trainable = builder.get_model_for_training(
+        segmentation_dilation_rates=(3, 6, 12)
+    )
+    variables = trainable.init(jax.random.key(0))
+    infer = builder.get_model_for_inference(
+        model_trained=variables,
+        max_number_of_boxes_per_class=4,
+        max_number_of_boxes_per_sample=10,
+        boxes_iou_threshold=0.5,
+        labels_probability_threshold=0.3,
+        suppress_background_boxes=False,
+        use_segmentation_suppression=True,
+    )
+
+    rng = np.random.default_rng(2)
+    images = rng.uniform(0, 255, (5, 96, 128, 3)).astype(np.float32)
+
+    mask, det = infer.predict_batched(images, batch=2)
+    assert mask.shape[0] == 5 and det.shape[0] == 5
+
+    # full chunks match plain predict on the same pairs
+    m01, d01 = infer.predict(images[0:2])
+    np.testing.assert_array_equal(mask[0:2], m01)
+    np.testing.assert_array_equal(det[0:2], d01)
+
+    # ragged tail: bit-exact vs the repeat-padded batch by construction
+    mp, dp = infer.predict(np.concatenate([images[4:5], images[4:5]], 0))
+    np.testing.assert_array_equal(mask[4:5], mp[:1])
+    np.testing.assert_array_equal(det[4:5], dp[:1])
+
+    # ...and equal to serving the tail image alone (the semantic claim:
+    # repeat-padding preserves the batch-global suppression gate; only
+    # program-level numeric noise may differ between batch sizes)
+    m1, d1 = infer.predict(images[4:5])
+    np.testing.assert_allclose(mask[4:5], m1, atol=1e-5)
+    np.testing.assert_allclose(det[4:5], d1, atol=1e-4)
+
+    # background filter flows through the shared output conventions
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        infer.predict_batched(images[:0], batch=2)
+    with pytest.raises(ValueError, match=r"\(N, H, W, C\)"):
+        infer.predict_batched(images[0], batch=2)
+
+
 def test_split_layer():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
