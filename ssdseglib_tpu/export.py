@@ -385,6 +385,44 @@ class ServingBundle:
             det = det[det[..., 0] > 0.0]
         return mask, det
 
+    def predict_batched(self, images):
+        """Serve an arbitrary number of images through the bundle's one
+        baked batch size, with `predict`'s output conventions — the
+        deployed-artifact mirror of `InferenceModel.predict_batched`:
+        chunk to the exported batch, repeat-pad the ragged tail (repeat
+        padding preserves the reference's batch-global segmentation-
+        suppression gate exactly: duplicates add no new classes to the
+        batch presence set), slice the real rows back."""
+        images = np.asarray(images)
+        if images.ndim != 4:
+            raise ValueError(
+                f"predict_batched expects (N, H, W, C) images, got "
+                f"shape {images.shape}"
+            )
+        n = images.shape[0]
+        if n == 0:
+            raise ValueError("predict_batched got an empty image stack")
+        batch = int(self.metadata["batch"])
+
+        masks, dets = [], []
+        for start in range(0, n, batch):
+            chunk = images[start : start + batch]
+            k = chunk.shape[0]
+            if k < batch:
+                pad = np.repeat(chunk[-1:], batch - k, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            mask, det = self(self.prepare_input(chunk))
+            # slice padded rows by position BEFORE the host filter
+            masks.append(np.asarray(mask)[:k])
+            dets.append(np.asarray(det)[:k])
+        mask = np.concatenate(masks, 0)
+        det = np.concatenate(dets, 0)
+        if mask.dtype != np.uint8 and mask.dtype != np.float32:
+            mask = mask.astype(np.float32)
+        if self.metadata.get("suppress_background_boxes", False):
+            det = det[det[..., 0] > 0.0]
+        return mask, det
+
 
 def load_serving_bundle(path: str) -> ServingBundle:
     """Load a bundle written by `save_serving_bundle`."""

@@ -109,6 +109,36 @@ def test_bundle_predict_applies_background_filter(tmp_path):
     assert (det_b[:, 0] > 0.0).all()
 
 
+def test_bundle_predict_batched_any_n(tmp_path):
+    """The deployed bundle serves any N through its one baked batch size
+    (chunk + repeat-pad + slice), mirroring
+    InferenceModel.predict_batched — no other program exists in a bundle,
+    so ragged tails would otherwise be unservable."""
+    infer = _infer()
+    path = str(tmp_path / "bundle_any_n")
+    save_serving_bundle(infer, path, batch=2)
+    bundle = load_serving_bundle(path)
+
+    images = _images(batch=5)
+    mask, det = bundle.predict_batched(images)
+    assert mask.shape[0] == 5 and det.shape[0] == 5
+
+    # full chunks match the plain bundle call
+    m01, d01 = bundle.predict(images[0:2])
+    np.testing.assert_array_equal(mask[0:2], m01)
+    np.testing.assert_array_equal(det[0:2], d01)
+
+    # ragged tail: bit-exact vs the repeat-padded batch by construction
+    mp, dp = bundle.predict(np.concatenate([images[4:5], images[4:5]], 0))
+    np.testing.assert_array_equal(mask[4:5], mp[:1])
+    np.testing.assert_array_equal(det[4:5], dp[:1])
+
+    with pytest.raises(ValueError, match="empty"):
+        bundle.predict_batched(images[:0])
+    with pytest.raises(ValueError, match=r"\(N, H, W, C\)"):
+        bundle.predict_batched(images[0])
+
+
 def test_bundle_nms_retune_without_recompile(tmp_path):
     """Thresholds stay runtime args of the exported program."""
     infer = _infer()
