@@ -78,6 +78,41 @@ inline int paeth(int a, int b, int c) {
   return c;
 }
 
+int samples_for_color_type(uint8_t color_type, uint32_t* spp) {
+  switch (color_type) {
+    case 0: *spp = 1; return 0;  // gray
+    case 2: *spp = 3; return 0;  // rgb
+    case 3: *spp = 1; return 0;  // palette index
+    case 4: *spp = 2; return 0;  // gray + alpha
+    case 6: *spp = 4; return 0;  // rgba
+    default: return -17;
+  }
+}
+
+// Header-only parse: IHDR is required to be the first chunk, so width /
+// height / channels cost a 33-byte read — no inflate, no unfilter.
+int parse_png_header(const uint8_t* data, size_t len, PngImage* out) {
+  if (len < 8 || std::memcmp(data, kPngSignature, 8) != 0) return -10;
+  if (len < 8 + 12 + 13) return -11;
+  const uint8_t* type = data + 12;
+  if (read_be32(data + 8) != 13 || std::memcmp(type, "IHDR", 4) != 0)
+    return -12;
+  const uint8_t* payload = data + 16;
+  out->width = read_be32(payload);
+  out->height = read_be32(payload + 4);
+  out->bit_depth = payload[8];
+  out->color_type = payload[9];
+  if (payload[10] != 0 || payload[11] != 0) return -13;
+  if (payload[12] != 0) return -14;
+  if (out->bit_depth != 8) return -15;
+  if (out->width == 0 || out->height == 0 || out->width > (1u << 20) ||
+      out->height > (1u << 20) ||
+      uint64_t(out->width) * out->height > (1ull << 28)) {
+    return -19;
+  }
+  return samples_for_color_type(out->color_type, &out->samples_per_pixel);
+}
+
 // Parse + inflate + unfilter an 8-bit non-interlaced PNG.
 int decode_png(const uint8_t* data, size_t len, PngImage* out) {
   if (len < 8 || std::memcmp(data, kPngSignature, 8) != 0) return -10;
@@ -100,6 +135,15 @@ int decode_png(const uint8_t* data, size_t len, PngImage* out) {
       if (payload[10] != 0 || payload[11] != 0) return -13;  // compression/filter
       if (payload[12] != 0) return -14;                      // interlaced: unsupported
       if (out->bit_depth != 8) return -15;
+      // sanity-bound the declared dimensions BEFORE any size arithmetic:
+      // a corrupt IHDR (e.g. 0xFFFFFFFF x 0xFFFFFFFF) would otherwise
+      // overflow the size_t buffer math below into a small allocation and
+      // turn the unfilter loop into a heap overwrite
+      if (out->width == 0 || out->height == 0 || out->width > (1u << 20) ||
+          out->height > (1u << 20) ||
+          uint64_t(out->width) * out->height > (1ull << 28)) {
+        return -19;
+      }
       saw_ihdr = true;
     } else if (std::memcmp(type, "PLTE", 4) == 0) {
       out->palette.assign(payload, payload + chunk_len);
@@ -112,14 +156,8 @@ int decode_png(const uint8_t* data, size_t len, PngImage* out) {
   }
   if (!saw_ihdr || idat.empty()) return -16;
 
-  switch (out->color_type) {
-    case 0: out->samples_per_pixel = 1; break;  // gray
-    case 2: out->samples_per_pixel = 3; break;  // rgb
-    case 3: out->samples_per_pixel = 1; break;  // palette index
-    case 4: out->samples_per_pixel = 2; break;  // gray + alpha
-    case 6: out->samples_per_pixel = 4; break;  // rgba
-    default: return -17;
-  }
+  if (int r = samples_for_color_type(out->color_type, &out->samples_per_pixel))
+    return r;
 
   const size_t stride = size_t(out->width) * out->samples_per_pixel;
   std::vector<uint8_t> raw(out->height * (stride + 1));
@@ -236,8 +274,14 @@ int read_file(const char* path, std::vector<uint8_t>& buf) {
 // ground-truth CSV parsing: rows of "label,xmin,ymin,xmax,ymax"
 // ---------------------------------------------------------------------------
 
-int parse_csv(const char* text, size_t len, int32_t* labels, float* boxes,
+int parse_csv(const char* text_in, size_t len, int32_t* labels, float* boxes,
               int max_rows) {
+  // strtol/strtof need a NUL terminator: the caller's buffer may end on
+  // the last digit (no trailing newline) with stale bytes past `len`
+  // (read_file reuses buffers), which would silently corrupt the final
+  // coordinate.  CSVs are tiny, so a bounded copy is the simple fix.
+  const std::string owned(text_in, len);
+  const char* text = owned.c_str();
   int rows = 0;
   size_t pos = 0;
   while (pos < len && rows < max_rows) {
@@ -356,9 +400,10 @@ extern "C" {
 
 int ssdseg_png_info(const uint8_t* data, size_t len, uint32_t* w, uint32_t* h,
                     uint32_t* channels) {
+  // header-only: IHDR is the mandatory first chunk, so sizing the output
+  // buffers costs a 33-byte parse, not a second full inflate + unfilter
   PngImage img;
-  // parse header only: decode fully for simplicity (files are small)
-  int ret = decode_png(data, len, &img);
+  int ret = parse_png_header(data, len, &img);
   if (ret != 0) return ret;
   *w = img.width;
   *h = img.height;
@@ -367,22 +412,34 @@ int ssdseg_png_info(const uint8_t* data, size_t len, uint32_t* w, uint32_t* h,
 }
 
 int ssdseg_png_decode_rgb(const uint8_t* data, size_t len, uint8_t* out) {
-  PngImage img;
-  int ret = decode_png(data, len, &img);
-  if (ret != 0) return ret;
-  return to_rgb(img, out);
+  try {
+    PngImage img;
+    int ret = decode_png(data, len, &img);
+    if (ret != 0) return ret;
+    return to_rgb(img, out);
+  } catch (...) {  // bad_alloc etc. must not cross the C ABI
+    return -60;
+  }
 }
 
 int ssdseg_png_decode_gray(const uint8_t* data, size_t len, uint8_t* out) {
-  PngImage img;
-  int ret = decode_png(data, len, &img);
-  if (ret != 0) return ret;
-  return to_gray_first_channel(img, out);
+  try {
+    PngImage img;
+    int ret = decode_png(data, len, &img);
+    if (ret != 0) return ret;
+    return to_gray_first_channel(img, out);
+  } catch (...) {
+    return -60;
+  }
 }
 
 int ssdseg_csv_parse(const char* text, size_t len, int32_t* labels, float* boxes,
                      int max_rows) {
-  return parse_csv(text, len, labels, boxes, max_rows);
+  try {
+    return parse_csv(text, len, labels, boxes, max_rows);
+  } catch (...) {
+    return -60;
+  }
 }
 
 void* ssdseg_loader_create(int n_workers) {
@@ -415,11 +472,16 @@ int ssdseg_loader_load_batch(void* handle, const char** image_paths,
 
   for (int i = 0; i < batch; ++i) {
     loader->pool.submit([=, &error, &remaining, &done_mu, &done_cv] {
-      int ret = load_one(image_paths[i], mask_paths[i], csv_paths[i], img_h,
-                         img_w, images_out + i * img_stride,
-                         masks_out + i * mask_stride, labels_out + i * max_gt,
-                         boxes_out + size_t(i) * max_gt * 4,
-                         valid_out + i * max_gt, max_gt);
+      int ret;
+      try {
+        ret = load_one(image_paths[i], mask_paths[i], csv_paths[i], img_h,
+                       img_w, images_out + i * img_stride,
+                       masks_out + i * mask_stride, labels_out + i * max_gt,
+                       boxes_out + size_t(i) * max_gt * 4,
+                       valid_out + i * max_gt, max_gt);
+      } catch (...) {  // an escaping exception would std::terminate the
+        ret = -60;     // whole process from a pool thread
+      }
       if (ret != 0) {
         int expected = 0;
         error.compare_exchange_strong(expected, ret);

@@ -30,17 +30,25 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any) -> None:
+        """Queue an async save.  Orbax serializes in the background so the
+        training loop keeps stepping; the write is fenced at the next
+        `latest_step`/`restore`/`close` (or an explicit
+        `wait_until_finished`), not on the hot path."""
         import orbax.checkpoint as ocp
 
         self._manager.save(step, args=ocp.args.StandardSave(state))
+
+    def wait_until_finished(self) -> None:
         self._manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._manager.wait_until_finished()
         return self._manager.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         import orbax.checkpoint as ocp
 
+        self._manager.wait_until_finished()
         step = step if step is not None else self._manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -49,6 +57,7 @@ class Checkpointer:
         )
 
     def close(self) -> None:
+        self._manager.wait_until_finished()
         self._manager.close()
 
 

@@ -41,6 +41,14 @@ PathTriple = Tuple[str, str, str]  # (image.png, mask.png, labels_boxes.csv)
 Sample = Union[PathTriple, SyntheticSample]
 
 
+class _ProducerError:
+    """Queue marker carrying a producer-thread exception to the consumer
+    (a raw raise would die with the daemon thread and hang `q.get()`)."""
+
+    def __init__(self, exc: BaseException) -> None:
+        self.exc = exc
+
+
 def load_dataset_json(path: str, root: Optional[str] = None) -> List[PathTriple]:
     """Load a reference-format dataset JSON: a list of
     [image.png, mask.png, labels_boxes.csv] triples (reference data/*.json).
@@ -118,6 +126,8 @@ class HostBatcher:
         all_paths = all(
             not isinstance(s, SyntheticSample) for s in self.samples
         )
+        self._native_error: type = Exception
+        self._native_fallback_warned = False
         if use_native and all_paths and self.samples and image_shape:
             try:
                 from ssdseglib_tpu.data import native_loader
@@ -127,6 +137,7 @@ class HostBatcher:
                     max_ground_truth_boxes=max_ground_truth_boxes,
                     num_workers=num_workers,
                 )
+                self._native_error = native_loader.NativeLoaderError
             except Exception:
                 self._native = None
 
@@ -147,28 +158,66 @@ class HostBatcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that re-checks `stop`: an abandoned consumer
+            (early `break` out of the epoch) must not leave the producer
+            blocked forever on a full queue, pinning the thread plus a
+            decoded batch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            if self._native is not None:
-                for idx in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._native.load_batch([self.samples[i] for i in idx]))
-                q.put(None)
-                return
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idx in batches:
-                    if stop.is_set():
-                        return
-                    loaded = list(
-                        pool.map(
-                            lambda i: _load_sample(self.samples[i], self.max_gt), idx
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+
+                    def python_batch(idx):
+                        loaded = list(
+                            pool.map(
+                                lambda i: _load_sample(
+                                    self.samples[i], self.max_gt
+                                ),
+                                idx,
+                            )
                         )
-                    )
-                    images, masks, gl, gb, gv = (
-                        np.stack([s[j] for s in loaded]) for j in range(5)
-                    )
-                    q.put((images, masks, gl, gb, gv))
-            q.put(None)
+                        return tuple(
+                            np.stack([s[j] for s in loaded]) for j in range(5)
+                        )
+
+                    for idx in batches:
+                        if stop.is_set():
+                            return
+                        if self._native is not None:
+                            try:
+                                batch = self._native.load_batch(
+                                    [self.samples[i] for i in idx]
+                                )
+                            except self._native_error as e:
+                                # the native decoder covers the dataset's
+                                # PNG subset; PIL decodes more (16-bit,
+                                # interlaced, ...) — fall back per batch
+                                # (native_loader.py documents this contract)
+                                if not self._native_fallback_warned:
+                                    import warnings
+
+                                    warnings.warn(
+                                        f"native loader failed ({e}); "
+                                        "falling back to the PIL path for "
+                                        "affected batches"
+                                    )
+                                    self._native_fallback_warned = True
+                                batch = python_batch(idx)
+                        else:
+                            batch = python_batch(idx)
+                        if not put(batch):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                put(_ProducerError(e))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -177,6 +226,8 @@ class HostBatcher:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()

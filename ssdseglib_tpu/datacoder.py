@@ -67,10 +67,17 @@ def read_labels_boxes_csv(path_or_text: str) -> Tuple[np.ndarray, np.ndarray]:
     csv module handles both line endings.
     Returns (labels (G,), boxes (G, 4) corners).
     """
-    try:
-        text = open(path_or_text, "r", newline="").read()
-    except (OSError, ValueError):
+    # path-vs-text disambiguation: only fall through to "it's CSV text"
+    # for strings that cannot be a path (embedded newline/comma or too
+    # long) — a plain missing-file path must surface as FileNotFoundError,
+    # not as a downstream int() parse error on the path string itself
+    looks_like_text = (
+        "\n" in path_or_text or "," in path_or_text or len(path_or_text) > 4096
+    )
+    if looks_like_text:
         text = path_or_text
+    else:
+        text = open(path_or_text, "r", newline="").read()
     labels, boxes = [], []
     for row in _csv.reader(io.StringIO(text.strip())):
         if not row:
@@ -344,7 +351,12 @@ class DataEncoderDecoder:
             image = image[:, ::-1, :].copy()
             mask_map = mask_map[:, ::-1].copy()
 
-        mask = np.eye(self.num_classes, dtype=np.float32)[mask_map]
+        # tf.one_hot semantics (reference datacoder.py:330): out-of-range
+        # pixel values produce an all-zero row, matching the jitted batch
+        # path (jax.nn.one_hot) — np.eye indexing would IndexError instead
+        mask = (
+            mask_map[..., None] == np.arange(self.num_classes, dtype=mask_map.dtype)
+        ).astype(np.float32)
         enc_labels, enc_offsets = self.encode_ground_truth(
             labels, boxes, flip_horizontal=flip
         )

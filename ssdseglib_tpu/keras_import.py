@@ -262,6 +262,20 @@ def import_keras_weights(
         else:
             raise ValueError(m.kind)
 
+    # completeness check, symmetric to take()'s missing-layer KeyError: a
+    # checkpoint layer the mapping never consumed means the checkpoint was
+    # produced by a DIFFERENT config (e.g. shufflenet_extra_depthwise
+    # mismatch) and trained weights would be silently dropped
+    unused = set(weights_by_layer) - used
+    if unused:
+        import warnings
+
+        warnings.warn(
+            f"{len(unused)} checkpoint layer(s) not consumed by the "
+            f"{cfg.backbone} mapping (config mismatch?): "
+            f"{sorted(unused)[:8]}{'...' if len(unused) > 8 else ''}"
+        )
+
     return {"params": params, "batch_stats": stats}
 
 

@@ -65,6 +65,23 @@ def test_import_covers_every_parameter(reference_model, flax_setup):
     validate_against_template(variables, template)
 
 
+def test_import_warns_on_unconsumed_checkpoint_layers(
+    reference_model, flax_setup
+):
+    """A checkpoint layer the mapping never consumes means the checkpoint
+    came from a different config — trained weights would silently vanish
+    without the completeness warning (the mirror of take()'s KeyError for
+    missing layers)."""
+    import numpy as np
+    import pytest
+
+    cfg, _, _ = flax_setup
+    weights = weights_by_layer_from_keras_model(reference_model)
+    weights["rogue-extra-layer"] = [np.zeros((1, 1, 3, 8), np.float32)]
+    with pytest.warns(UserWarning, match="rogue-extra-layer"):
+        import_keras_weights(weights, cfg)
+
+
 def test_activation_parity_with_keras(reference_model, flax_setup):
     cfg, module, template = flax_setup
     weights = weights_by_layer_from_keras_model(reference_model)

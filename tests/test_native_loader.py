@@ -70,6 +70,55 @@ def test_csv_parse_crlf():
     )
 
 
+def test_csv_parse_ignores_bytes_past_len():
+    """Regression: strtof on a non-NUL-terminated buffer used to keep
+    consuming stale digit bytes past `len` (silently corrupting the final
+    coordinate when the CSV lacks a trailing newline)."""
+    import ctypes
+
+    lib = native_loader.get_library()
+    payload = b"1,10,20,30,40"  # no trailing newline
+    buf = payload + b"987654"  # stale digit bytes past len
+    labels = np.zeros(8, np.int32)
+    boxes = np.zeros((8, 4), np.float32)
+    rows = lib.ssdseg_csv_parse(
+        buf,
+        len(payload),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        8,
+    )
+    assert rows == 1
+    assert labels[0] == 1
+    np.testing.assert_allclose(boxes[0], [10.0, 20.0, 30.0, 40.0])
+
+
+def test_corrupt_ihdr_rejected_not_crash():
+    """A PNG whose IHDR declares absurd dimensions must come back as an
+    error code (the size arithmetic used to overflow size_t / bad_alloc
+    could escape a pool thread and std::terminate the process)."""
+    arr = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(_png_bytes(arr, "RGB"))
+    data[16:24] = b"\xff" * 8  # IHDR width/height -> 0xFFFFFFFF
+    with pytest.raises(native_loader.NativeLoaderError):
+        native_loader.png_info(bytes(data))
+    with pytest.raises(native_loader.NativeLoaderError):
+        native_loader.decode_png_rgb(bytes(data))
+
+
+def test_png_info_header_only():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    h, w, c = native_loader.png_info(_png_bytes(arr, "RGB"))
+    assert (h, w, c) == (21, 35, 3)
+    # truncated right after the IHDR chunk: info still works (header-only
+    # parse), full decode correctly fails
+    data = _png_bytes(arr, "RGB")[: 8 + 12 + 13]
+    assert native_loader.png_info(data) == (21, 35, 3)
+    with pytest.raises(native_loader.NativeLoaderError):
+        native_loader.decode_png_rgb(data)
+
+
 def test_batch_loader_end_to_end(tmp_path):
     """Native batch assembly matches the Python host path bit-for-bit."""
     from PIL import Image
