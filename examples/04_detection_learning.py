@@ -315,6 +315,11 @@ def main() -> None:
             # exclude eval/checkpoint time from the next rate window
             t0, n_rate = time.perf_counter(), 0
 
+    if ckpt is not None:
+        # saves are queued async; fence so the final checkpoint commit
+        # cannot be lost if the grid search below is interrupted
+        ckpt.wait_until_finished()
+
     # ---- NMS operating-point grid search (reference nb 03 cells 21-23) --
     # raw model outputs once, then NMS on the host CPU backend per point
     print("\nNMS grid search:", flush=True)

@@ -25,7 +25,22 @@ _lib_lock = threading.Lock()
 
 
 class NativeLoaderError(RuntimeError):
-    pass
+    """Failure reported by the C++ loader.  `code` is the native error
+    code (dataloader.cpp return conventions): -10..-22 PNG format /
+    decode-capability limits, -30/-31 file IO, -40..-42 CSV parse,
+    -50/-51 image-shape mismatch, -60 native exception."""
+
+    def __init__(self, message: str, code: "int | None" = None) -> None:
+        super().__init__(message)
+        self.code = code
+
+    @property
+    def is_io_error(self) -> bool:
+        """True for plain file-IO failures (missing/unreadable file) —
+        cases a different decoder cannot fix, as opposed to
+        decode-capability limits (16-bit, interlaced, ...) where a PIL
+        fallback is the right move."""
+        return self.code in (-30, -31)
 
 
 def _build_library() -> None:
@@ -106,7 +121,7 @@ def png_info(data: bytes) -> Tuple[int, int, int]:
         _u8ptr(buf), len(data), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)
     )
     if ret != 0:
-        raise NativeLoaderError(f"png_info failed: {ret}")
+        raise NativeLoaderError(f"png_info failed: {ret}", code=ret)
     return h.value, w.value, c.value
 
 
@@ -116,7 +131,7 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8)
     ret = get_library().ssdseg_png_decode_rgb(_u8ptr(buf), len(data), _u8ptr(out))
     if ret != 0:
-        raise NativeLoaderError(f"png_decode_rgb failed: {ret}")
+        raise NativeLoaderError(f"png_decode_rgb failed: {ret}", code=ret)
     return out
 
 
@@ -126,7 +141,7 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8)
     ret = get_library().ssdseg_png_decode_gray(_u8ptr(buf), len(data), _u8ptr(out))
     if ret != 0:
-        raise NativeLoaderError(f"png_decode_gray failed: {ret}")
+        raise NativeLoaderError(f"png_decode_gray failed: {ret}", code=ret)
     return out
 
 
@@ -141,7 +156,7 @@ def parse_csv(text: bytes, max_rows: int = 64) -> Tuple[np.ndarray, np.ndarray]:
         max_rows,
     )
     if rows < 0:
-        raise NativeLoaderError(f"csv_parse failed: {rows}")
+        raise NativeLoaderError(f"csv_parse failed: {rows}", code=rows)
     return labels[:rows].copy(), boxes[:rows].copy()
 
 
@@ -202,7 +217,7 @@ class NativeBatchLoader:
             _u8ptr(valid), self.max_gt,
         )
         if ret != 0:
-            raise NativeLoaderError(f"load_batch failed: {ret}")
+            raise NativeLoaderError(f"load_batch failed: {ret}", code=ret)
         return images, masks, labels, boxes, valid.astype(bool)
 
 

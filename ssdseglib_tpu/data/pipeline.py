@@ -200,8 +200,16 @@ class HostBatcher:
                                 # the native decoder covers the dataset's
                                 # PNG subset; PIL decodes more (16-bit,
                                 # interlaced, ...) — fall back per batch
-                                # (native_loader.py documents this contract)
-                                if not self._native_fallback_warned:
+                                # (native_loader.py documents this
+                                # contract).  Pure IO failures (missing /
+                                # unreadable file) are not a format
+                                # limitation: skip the misleading warning
+                                # and let the PIL path raise the precise
+                                # FileNotFoundError for the bad path.
+                                io_error = getattr(e, "is_io_error", False)
+                                if not io_error and (
+                                    not self._native_fallback_warned
+                                ):
                                     import warnings
 
                                     warnings.warn(

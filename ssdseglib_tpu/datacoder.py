@@ -23,6 +23,7 @@ from __future__ import annotations
 import csv as _csv
 import functools
 import io
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -67,12 +68,18 @@ def read_labels_boxes_csv(path_or_text: str) -> Tuple[np.ndarray, np.ndarray]:
     csv module handles both line endings.
     Returns (labels (G,), boxes (G, 4) corners).
     """
-    # path-vs-text disambiguation: only fall through to "it's CSV text"
-    # for strings that cannot be a path (embedded newline/comma or too
-    # long) — a plain missing-file path must surface as FileNotFoundError,
-    # not as a downstream int() parse error on the path string itself
+    # path-vs-text disambiguation: treat the string as inline CSV text
+    # when it cannot be a path (embedded newline, overlong, empty) or when
+    # it is comma-bearing AND no such file exists (commas are legal in
+    # file names, so an existing comma-bearing path is still opened) — a
+    # plain missing-file path must surface as FileNotFoundError, not as a
+    # downstream int() parse error on the path string itself
     looks_like_text = (
-        "\n" in path_or_text or "," in path_or_text or len(path_or_text) > 4096
+        "\n" in path_or_text
+        or "\r" in path_or_text
+        or len(path_or_text) > 4096
+        or path_or_text == ""
+        or ("," in path_or_text and not os.path.exists(path_or_text))
     )
     if looks_like_text:
         text = path_or_text

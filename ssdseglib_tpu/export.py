@@ -377,51 +377,32 @@ class ServingBundle:
         when the exporting model was built with
         suppress_background_boxes=True (recorded in metadata; absent in
         pre-filter bundles, which never suppressed)."""
+        from ssdseglib_tpu.utils.serving import format_outputs
+
         mask, det = self(images)
-        mask, det = np.asarray(mask), np.asarray(det)
-        if mask.dtype != np.uint8 and mask.dtype != np.float32:
-            mask = mask.astype(np.float32)
-        if self.metadata.get("suppress_background_boxes", False):
-            det = det[det[..., 0] > 0.0]
-        return mask, det
+        return format_outputs(
+            mask, det, self.metadata.get("suppress_background_boxes", False)
+        )
 
     def predict_batched(self, images):
         """Serve an arbitrary number of images through the bundle's one
         baked batch size, with `predict`'s output conventions — the
-        deployed-artifact mirror of `InferenceModel.predict_batched`:
-        chunk to the exported batch, repeat-pad the ragged tail (repeat
-        padding preserves the reference's batch-global segmentation-
-        suppression gate exactly: duplicates add no new classes to the
-        batch presence set), slice the real rows back."""
-        images = np.asarray(images)
-        if images.ndim != 4:
-            raise ValueError(
-                f"predict_batched expects (N, H, W, C) images, got "
-                f"shape {images.shape}"
-            )
-        n = images.shape[0]
-        if n == 0:
-            raise ValueError("predict_batched got an empty image stack")
-        batch = int(self.metadata["batch"])
+        deployed-artifact mirror of `InferenceModel.predict_batched`
+        (see `utils.serving.predict_batched_chunks` for the chunk /
+        repeat-pad / slice protocol)."""
+        from ssdseglib_tpu.utils.serving import (
+            format_outputs,
+            predict_batched_chunks,
+        )
 
-        masks, dets = [], []
-        for start in range(0, n, batch):
-            chunk = images[start : start + batch]
-            k = chunk.shape[0]
-            if k < batch:
-                pad = np.repeat(chunk[-1:], batch - k, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            mask, det = self(self.prepare_input(chunk))
-            # slice padded rows by position BEFORE the host filter
-            masks.append(np.asarray(mask)[:k])
-            dets.append(np.asarray(det)[:k])
-        mask = np.concatenate(masks, 0)
-        det = np.concatenate(dets, 0)
-        if mask.dtype != np.uint8 and mask.dtype != np.float32:
-            mask = mask.astype(np.float32)
-        if self.metadata.get("suppress_background_boxes", False):
-            det = det[det[..., 0] > 0.0]
-        return mask, det
+        mask, det = predict_batched_chunks(
+            images,
+            int(self.metadata["batch"]),
+            lambda chunk: self(self.prepare_input(chunk)),
+        )
+        return format_outputs(
+            mask, det, self.metadata.get("suppress_background_boxes", False)
+        )
 
 
 def load_serving_bundle(path: str) -> ServingBundle:

@@ -668,64 +668,35 @@ class InferenceModel:
         return self._to_numpy_outputs(mask, det)
 
     def _to_numpy_outputs(self, mask, det):
-        mask, det = np.asarray(mask), np.asarray(det)
-        if mask.dtype != np.uint8 and mask.dtype != np.float32:
-            mask = mask.astype(np.float32)
-        if self._suppress_background:
-            det = det[det[..., 0] > 0.0]
-        return mask, det
+        from ssdseglib_tpu.utils.serving import format_outputs
+
+        return format_outputs(mask, det, self._suppress_background)
 
     def predict_batched(self, images, batch: Optional[int] = None):
         """Serve an arbitrary number of images through ONE compiled
-        program, with `predict`'s NumPy output conventions.
-
-        XLA programs are static-shape, so every distinct batch size
-        otherwise traces + compiles a fresh executable (20-40 s through a
-        remote-attached TPU) — Keras `Model.predict` hides this because
-        TF retraces on a per-shape basis too but its CPU/GPU compiles are
-        cheap.  This chunks the input into `batch`-size pieces and pads
-        the ragged tail BY REPEATING ITS LAST IMAGE, then slices outputs
-        back to the real rows.  Repeat-padding (not zero-padding) is what
-        keeps the real rows bit-exact under the reference's batch-global
-        segmentation suppression (reference layers.py:207): a duplicate
-        image adds no new classes to the batch presence set, while a
-        zero/blank pad image could.  As with Keras `predict` over a
-        batched dataset (reference nb 03 cell 25), the batch-global
-        quirk applies per served chunk.
+        program, with `predict`'s NumPy output conventions — see
+        `utils.serving.predict_batched_chunks` for the chunk /
+        repeat-pad / slice protocol and why repeat-padding preserves the
+        reference's batch-global segmentation suppression (reference
+        layers.py:207) exactly.
 
         batch: compiled batch size to serve through; defaults to the
         AUTO-layout batch when built with input_layout='auto', else 16
         (the flagship serving batch)."""
-        images = np.asarray(images)
-        if images.ndim != 4:
-            raise ValueError(
-                f"predict_batched expects (N, H, W, C) images, got "
-                f"shape {images.shape}"
-            )
+        from ssdseglib_tpu.utils.serving import predict_batched_chunks
+
         if batch is None:
             batch = self._auto["batch"] if self._auto is not None else 16
-        n = images.shape[0]
-        if n == 0:
-            raise ValueError("predict_batched got an empty image stack")
 
-        masks, dets = [], []
-        for start in range(0, n, batch):
-            chunk = images[start : start + batch]
-            k = chunk.shape[0]
-            if k < batch:
-                pad = np.repeat(chunk[-1:], batch - k, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
+        def run_chunk(chunk):
             staged = (
                 self.prepare_input(chunk)
                 if self.mesh is None
                 else self._prepare(chunk)
             )
-            mask, det = self._forward(self.variables, staged)
-            # slice BEFORE the host filter: padded rows are dropped by
-            # position, real rows by the background filter
-            masks.append(np.asarray(mask)[:k])
-            dets.append(np.asarray(det)[:k])
-        mask, det = np.concatenate(masks, 0), np.concatenate(dets, 0)
+            return self._forward(self.variables, staged)
+
+        mask, det = predict_batched_chunks(images, batch, run_chunk)
         return self._to_numpy_outputs(mask, det)
 
 

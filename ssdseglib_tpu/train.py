@@ -515,4 +515,13 @@ class Trainer:
             if checkpointer is not None:
                 checkpointer.save(int(np.asarray(state.step)), jax.device_get(state))
 
+        if checkpointer is not None and hasattr(
+            checkpointer, "wait_until_finished"
+        ):
+            # saves are queued async (they overlap the next epoch's
+            # compute); fence before returning so a process that exits
+            # right after fit() cannot lose the final epoch's checkpoint
+            # to an in-flight background commit
+            checkpointer.wait_until_finished()
+
         return state, history

@@ -108,6 +108,11 @@ def test_predict_batched_single_program_any_n():
         infer.predict_batched(images[:0], batch=2)
     with pytest.raises(ValueError, match=r"\(N, H, W, C\)"):
         infer.predict_batched(images[0], batch=2)
+    # bad batch values fail loudly, not as range()/concatenate errors
+    with pytest.raises(ValueError, match="positive int"):
+        infer.predict_batched(images, batch=0)
+    with pytest.raises(ValueError, match="positive int"):
+        infer.predict_batched(images, batch=-4)
 
 
 def test_split_layer():

@@ -115,6 +115,47 @@ def test_read_csv_missing_path_raises_filenotfound(tmp_path):
     np.testing.assert_allclose(boxes[1], [6, 7, 8, 9])
 
 
+def test_read_csv_comma_bearing_path_and_empty_text(tmp_path):
+    """Commas are legal in file names: an EXISTING comma-bearing path is
+    opened as a file (not parsed as inline text), and the empty string
+    keeps its 'no boxes' meaning."""
+    path = tmp_path / "run,v2.csv"
+    path.write_text("3,1.0,2.0,5.0,6.0\n")
+    labels, boxes = read_labels_boxes_csv(str(path))
+    np.testing.assert_array_equal(labels, [3])
+    np.testing.assert_allclose(boxes[0], [1.0, 2.0, 5.0, 6.0])
+
+    labels, boxes = read_labels_boxes_csv("")
+    assert labels.shape == (0,) and boxes.shape == (0, 4)
+
+
+def test_native_io_error_skips_format_fallback_warning(tmp_path):
+    """A missing file through the native-first path must surface the
+    precise FileNotFoundError WITHOUT the misleading 'falling back to the
+    PIL path' format warning (IO failures are not a decoder limitation)."""
+    import warnings
+
+    native = pytest.importorskip("ssdseglib_tpu.data.native_loader")
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    triples = [_write_sample(tmp_path, i) for i in range(2)]
+    triples.append(
+        (str(tmp_path / "gone.png"), triples[0][1], triples[0][2])
+    )
+    batcher = HostBatcher(
+        triples, batch_size=1, shuffle=False, image_shape=(16, 24)
+    )
+    if batcher._native is None:
+        pytest.skip("native loader not active for this batcher")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with pytest.raises((FileNotFoundError, OSError)):
+            for _ in batcher:
+                pass
+    assert not any("falling back" in str(w.message) for w in caught)
+
+
 def test_read_and_encode_out_of_range_mask_pixel(tmp_path):
     """tf.one_hot semantics: a mask pixel >= num_classes one-hots to an
     all-zero row (the np.eye formulation crashed with IndexError),
