@@ -81,6 +81,13 @@ def read_labels_boxes_csv(path_or_text: str) -> Tuple[np.ndarray, np.ndarray]:
         or path_or_text == ""
         or ("," in path_or_text and not os.path.exists(path_or_text))
     )
+    if looks_like_text and "\n" not in path_or_text and "\r" not in path_or_text:
+        # single-line comma-bearing string that is not an existing file:
+        # if it still looks like a path (csv suffix / path separator), a
+        # typo'd path like 'data/run,v2.csv' must fail as a missing file,
+        # not as a confusing int() parse error on the path string
+        if path_or_text.endswith(".csv") or os.sep in path_or_text:
+            raise FileNotFoundError(path_or_text)
     if looks_like_text:
         text = path_or_text
     else:

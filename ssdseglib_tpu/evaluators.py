@@ -121,6 +121,13 @@ def average_precision_object_detection(
             tp_conf[int(label)].append((tp, conf))
 
     average_precision = {}
+    # np.trapezoid is np.trapz renamed (numpy 2.0); same integration as
+    # the reference's np.trapz (reference evaluators.py:185).  Only touch
+    # np.trapz when trapezoid is absent — on builds that removed trapz
+    # entirely, an eager default argument would raise AttributeError.
+    trapezoid = getattr(np, "trapezoid", None)
+    if trapezoid is None:
+        trapezoid = np.trapz
     for label, pairs in tp_conf.items():
         if gt_counter[label] == 0 or len(pairs) == 0:
             average_precision[label] = 0.0
@@ -130,9 +137,6 @@ def average_precision_object_detection(
         tps = pairs[order, 0]
         precision = np.cumsum(tps) / np.arange(1, len(tps) + 1)
         recall = np.cumsum(tps) / gt_counter[label]
-        # np.trapezoid is np.trapz renamed (numpy 2.0); same integration
-        # as the reference's np.trapz (reference evaluators.py:185)
-        trapezoid = getattr(np, "trapezoid", np.trapz)
         average_precision[label] = float(trapezoid(y=precision, x=recall))
     return average_precision
 

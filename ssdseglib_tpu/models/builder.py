@@ -480,9 +480,12 @@ class InferenceModel:
             and (self._fused_max_batch is None
                  or batch <= self._fused_max_batch)
         )
+        # derive the program from the SAME predicate as use_fused (mirrors
+        # export.save_serving_bundle) so an unfused _forward_program can
+        # never be lowered against the empty fused variables tree
         base_program = (
             self._forward_program
-            if self._fused_max_batch is None or batch <= self._fused_max_batch
+            if (use_fused or self._fallback_programs is None)
             else self._fallback_programs[0]
         )
         # fused programs bake the folded weights in as constants and never

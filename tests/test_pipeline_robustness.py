@@ -128,6 +128,14 @@ def test_read_csv_comma_bearing_path_and_empty_text(tmp_path):
     labels, boxes = read_labels_boxes_csv("")
     assert labels.shape == (0,) and boxes.shape == (0, 4)
 
+    # a MISSING comma-bearing string that still looks like a path (.csv
+    # suffix / path separator) is a typo'd path: FileNotFoundError, not a
+    # confusing int() parse error from inline-text interpretation
+    with pytest.raises(FileNotFoundError):
+        read_labels_boxes_csv(str(tmp_path / "run,v2.csv") + ".missing.csv")
+    with pytest.raises(FileNotFoundError):
+        read_labels_boxes_csv("data/run,v2.csv")
+
 
 def test_native_io_error_skips_format_fallback_warning(tmp_path):
     """A missing file through the native-first path must surface the
