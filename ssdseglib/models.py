@@ -115,6 +115,143 @@ class History:
         self.epoch: list = []
 
 
+# -- fast fit machinery --------------------------------------------------------
+#
+# The facade consumes arbitrary host pipelines (the notebooks pass tf.data
+# datasets — reference notebook 03 cell 8), so Trainer.fit's fused
+# on-device transform does not apply; instead the same three levers are
+# rebuilt for host batches (VERDICT r3 item 3):
+#   1. exact uint8 packing: the dominant upload is the one-hot f32 mask
+#      target (B,480,640,C) = 78 MB at batch 16; exactly-one-hot targets
+#      pack to a uint8 class map (16x smaller) and are re-one-hot on
+#      device INSIDE the jitted step — bit-exact, because the reference
+#      encoder emits {0,1} one-hot (reference datacoder.py:247-248, :333)
+#   2. a producer thread so host decode/encode (tf.data numpy_function)
+#      and packing overlap device compute
+#   3. fenced chunk staging: a device_put issued while compute is queued
+#      serializes ~10x on remote-attached TPUs (same pattern as
+#      ssdseglib_tpu.train.Trainer.fit's _staged)
+
+_TARGET_KEYS = ("output-mask", "output-labels", "output-boxes")
+
+
+def _exactly_one_hot(arr) -> bool:
+    """True iff `arr` is an exact {0,1} float32 one-hot over its last axis
+    (sum==1 and max==1 over the last axis forces every entry into {0,1})."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.float32 or arr.ndim < 2 or arr.size == 0:
+        return False
+    return bool(
+        arr.min() >= 0.0
+        and (arr.max(axis=-1) == 1.0).all()
+        and (arr.sum(axis=-1) == 1.0).all()
+    )
+
+
+def _pack_host_batch(images, targets):
+    """Pack one host batch for upload; returns (kind, flat_tuple)."""
+    mask = np.asarray(targets["output-mask"])
+    labels = np.asarray(targets["output-labels"])
+    boxes = np.asarray(targets["output-boxes"], np.float32)
+    images = np.asarray(images, np.float32)
+    if _exactly_one_hot(mask) and _exactly_one_hot(labels):
+        return "packed", (
+            images,
+            mask.argmax(-1).astype(np.uint8),
+            labels.argmax(-1).astype(np.uint8),
+            boxes,
+        )
+    return "plain", (images, mask, labels, boxes)
+
+
+class _Prefetcher:
+    """Producer thread: pulls + packs host batches ahead of the dispatch
+    loop.  Exceptions propagate to the consumer; `close()` stops early."""
+
+    _DONE = object()
+
+    def __init__(self, batches, depth: int = 3) -> None:
+        import queue
+        import threading
+
+        self._q: Any = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def produce():
+            try:
+                for images, targets in batches:
+                    if self._stop.is_set():
+                        break
+                    item = _pack_host_batch(images, targets)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as exc:  # relay to consumer
+                self._q.put(exc)
+            else:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=produce, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+def _staged_batches(data, fence, chunk_size: int = 4):
+    """Yield (kind, device_batch) with prefetch + fenced chunk uploads.
+
+    `fence` is a one-element list the dispatch loop sets to its latest
+    on-device metric; each chunk upload first drains the compute queue by
+    blocking on it, then bulk-uploads onto the idle device.
+    """
+    import jax
+
+    prefetcher = _Prefetcher(_zip_batches(data))
+    try:
+        buf = []
+
+        def upload(chunk):
+            if fence[0] is not None:
+                jax.block_until_ready(fence[0])
+            return [
+                (kind, tuple(jax.device_put(a) for a in flat))
+                for kind, flat in chunk
+            ]
+
+        for item in prefetcher:
+            buf.append(item)
+            if len(buf) >= chunk_size:
+                yield from upload(buf)
+                buf = []
+        if buf:
+            yield from upload(buf)
+    finally:
+        prefetcher.close()
+
+
+def _zip_batches(data):
+    for batch in _iter_batches(data):
+        if isinstance(batch, (tuple, list)) and len(batch) == 2:
+            yield batch[0], batch[1]
+        else:
+            raise ValueError(
+                "fit/evaluate expect (images, targets-dict) batches"
+            )
+
+
 class KerasStyleModel:
     """compile/fit/predict/save facade over `TrainableModel` + optax.
 
@@ -231,9 +368,15 @@ class KerasStyleModel:
         self._steps = None
 
     # -- jitted steps ----------------------------------------------------
-    def _build_steps(self):
-        if self._steps is not None:
-            return self._steps
+    def _build_steps(self, kind: str = "plain"):
+        """(train_step, eval_step) over a flat (images, mask, labels,
+        boxes) batch.  kind='packed' takes uint8 class-map mask/labels and
+        re-one-hots them ON DEVICE inside the same jitted program — fused
+        by XLA, and 16x less host->device mask traffic than f32 one-hot."""
+        if self._steps is None:
+            self._steps = {}
+        if kind in self._steps:
+            return self._steps[kind]
         if self._compiled is None:
             raise RuntimeError("call compile(...) before fit/evaluate")
         import jax
@@ -245,6 +388,17 @@ class KerasStyleModel:
         weights = self._compiled["loss_weights"]
         metric_fns = self._compiled["metrics"]
         tx = self._compiled["tx"]
+        num_classes = self.cfg.number_of_classes
+
+        def unflatten_targets(mask, labels, boxes):
+            if kind == "packed":
+                mask = jax.nn.one_hot(mask, num_classes, dtype=jnp.float32)
+                labels = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+            return {
+                "output-mask": mask,
+                "output-labels": labels,
+                "output-boxes": boxes,
+            }
 
         def losses_and_logs(outputs, targets):
             logs = {}
@@ -272,7 +426,8 @@ class KerasStyleModel:
             return total, (mutated["batch_stats"], logs)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images, targets):
+        def train_step(state, images, mask, labels, boxes):
+            targets = unflatten_targets(mask, labels, boxes)
             grads, (new_stats, logs) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, images, targets
             )
@@ -291,7 +446,8 @@ class KerasStyleModel:
             )
 
         @jax.jit
-        def eval_step(state, images, targets):
+        def eval_step(state, images, mask, labels, boxes):
+            targets = unflatten_targets(mask, labels, boxes)
             outputs = module.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 images,
@@ -299,8 +455,8 @@ class KerasStyleModel:
             )
             return losses_and_logs(outputs, targets)[1]
 
-        self._steps = (train_step, eval_step)
-        return self._steps
+        self._steps[kind] = (train_step, eval_step)
+        return self._steps[kind]
 
     def _ensure_state(self):
         if self._state is None:
@@ -338,16 +494,21 @@ class KerasStyleModel:
             )
             epochs = int(cap)
 
-        train_step, eval_step = self._build_steps()
         state = self._ensure_state()
         history = History()
+        # on-device metric fence shared by the staged uploader: each chunk
+        # upload drains the compute queue before issuing device_puts
+        fence = [None]
 
         for epoch in range(epochs):
             t0 = time.perf_counter()
+            # accumulate metrics ON DEVICE; float() once per epoch
             agg: Dict[str, Any] = {}
             n = 0
-            for images, targets in _iter_batches(x):
-                state, logs = train_step(state, images, targets)
+            for kind, batch in _staged_batches(x, fence):
+                train_step, _ = self._build_steps(kind)
+                state, logs = train_step(state, *batch)
+                fence[0] = logs["loss"]
                 n += 1
                 for k, v in logs.items():
                     agg[k] = v if k not in agg else agg[k] + v
@@ -361,8 +522,10 @@ class KerasStyleModel:
             if validation_data is not None:
                 vagg: Dict[str, Any] = {}
                 vn = 0
-                for images, targets in _iter_batches(validation_data):
-                    logs = eval_step(state, images, targets)
+                for kind, batch in _staged_batches(validation_data, fence):
+                    _, eval_step = self._build_steps(kind)
+                    logs = eval_step(state, *batch)
+                    fence[0] = logs["loss"]
                     vn += 1
                     for k, v in logs.items():
                         vagg[k] = v if k not in vagg else vagg[k] + v
@@ -388,12 +551,14 @@ class KerasStyleModel:
         return history
 
     def evaluate(self, x=None, verbose="auto", return_dict: bool = True, **_):
-        _, eval_step = self._build_steps()
         state = self._ensure_state()
         agg: Dict[str, Any] = {}
         n = 0
-        for images, targets in _iter_batches(x):
-            logs = eval_step(state, images, targets)
+        fence = [None]
+        for kind, batch in _staged_batches(x, fence):
+            _, eval_step = self._build_steps(kind)
+            logs = eval_step(state, *batch)
+            fence[0] = logs["loss"]
             n += 1
             for k, v in logs.items():
                 agg[k] = v if k not in agg else agg[k] + v
