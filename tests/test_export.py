@@ -139,6 +139,57 @@ def test_bundle_predict_batched_any_n(tmp_path):
         bundle.predict_batched(images[0])
 
 
+def test_bundle_multi_batch_programs(tmp_path):
+    """A multi-batch bundle (batch=(1, 2)) bakes one program per size
+    sharing ONE stored operand set, serves each size exactly, and
+    predict_batched routes largest-fit — a single image runs the b1
+    program (not repeat-padded to the big batch), VERDICT r3 item 5."""
+    infer = _infer()
+    path = str(tmp_path / "bundle_multi")
+    save_serving_bundle(infer, path, batch=(2, 1))
+    # one operands.npz, two programs
+    assert os.path.exists(os.path.join(path, "program_b1.stablehlo"))
+    assert os.path.exists(os.path.join(path, "program_b2.stablehlo"))
+    assert not os.path.exists(os.path.join(path, "program.stablehlo"))
+
+    bundle = load_serving_bundle(path)
+    assert bundle.batches == [1, 2]
+    images = _images(batch=5)
+
+    # exact-batch calls match the live model at BOTH sizes
+    for b in (1, 2):
+        mask_live, det_live = infer(images[:b])
+        mask_b, det_b = bundle(images[:b])
+        np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(mask_live))
+        np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_live))
+
+    # any-N routing: 5 = 2+2+1, no padded rows; matches per-chunk calls
+    mask, det = bundle.predict_batched(images)
+    assert mask.shape[0] == 5 and det.shape[0] == 5
+    m_tail, d_tail = bundle.predict(images[4:5])
+    np.testing.assert_array_equal(mask[4:5], m_tail)
+    np.testing.assert_array_equal(det[4:5], d_tail)
+
+    # unsupported exact batch still guarded, message lists baked sizes
+    with pytest.raises(ValueError, match=r"1\|2"):
+        bundle(images[:3])
+
+
+def test_plan_batched_chunks():
+    from ssdseglib_tpu.utils.serving import plan_batched_chunks
+
+    assert plan_batched_chunks(5, (1, 2)) == [(2, 2), (2, 2), (1, 1)]
+    assert plan_batched_chunks(1, (16,)) == [(1, 16)]
+    assert plan_batched_chunks(35, (16, 1)) == [
+        (16, 16), (16, 16), (1, 1), (1, 1), (1, 1),
+    ]
+    assert plan_batched_chunks(3, (2, 16)) == [(2, 2), (1, 2)]
+    with pytest.raises(ValueError):
+        plan_batched_chunks(0, (1,))
+    with pytest.raises(ValueError):
+        plan_batched_chunks(4, ())
+
+
 def test_bundle_nms_retune_without_recompile(tmp_path):
     """Thresholds stay runtime args of the exported program."""
     infer = _infer()
