@@ -292,9 +292,18 @@ def load_keras_file(path: str) -> Dict[str, List[np.ndarray]]:
     """Read a TF-2.13 `.keras` zip (the reference checkpoint format) into a
     {layer name: [arrays]} dict.
 
-    The 2.13 saved layout keys weights by layer name under
-    `_layer_checkpoint_dependencies/<name>/vars/<i>` inside
-    `model.weights.h5`.
+    The genuine saved layout (keras saving_lib, same container walk in
+    2.13 and Keras 3) addresses each layer's weight group by the
+    snake-cased CLASS name plus occurrence index — NOT `layer.name`, which
+    "may vary across two instances of the same model"
+    (saving_lib._save_container_state) — and records the true layer name
+    as the `name` ATTRIBUTE of the `vars` group
+    (saving_lib._save_state metadata).  2.13 roots the groups at
+    `_layer_checkpoint_dependencies/<class_snake>/vars/<i>`
+    (Keras 3 uses `layers/...`; its own 2.13-compat load shim documents
+    the equivalence).  So the layer key is resolved from the `vars`
+    group's `name` attr when present, falling back to the path component
+    (covers artifacts from simpler writers keyed by layer name directly).
     """
     import io
     import zipfile
@@ -308,12 +317,24 @@ def load_keras_file(path: str) -> Dict[str, List[np.ndarray]]:
     out: Dict[str, List[np.ndarray]] = {}
 
     def visit(name, obj):
-        if isinstance(obj, h5py.Dataset):
-            parts = name.split("/")
-            if "vars" in parts:
-                i = parts.index("vars")
-                layer = parts[i - 1]
-                out.setdefault(layer, []).append((int(parts[i + 1]), obj[()]))
+        if not isinstance(obj, h5py.Dataset):
+            return
+        parts = name.split("/")
+        if "vars" not in parts[:-1]:
+            return
+        i = len(parts) - 2 - parts[:-1][::-1].index("vars")
+        if i == 0:
+            return  # top-level model vars group, not a layer
+        vars_group = h5["/".join(parts[: i + 1])]
+        layer = vars_group.attrs.get("name", parts[i - 1])
+        if isinstance(layer, bytes):
+            layer = layer.decode()
+        try:
+            index = int(parts[i + 1])
+        except ValueError:
+            # variable datasets named non-numerically: keep file order
+            index = len(out.get(layer, ()))
+        out.setdefault(layer, []).append((index, obj[()]))
 
     h5.visititems(visit)
     return {
@@ -328,8 +349,14 @@ def save_keras_file(
 ) -> None:
     """Write a TF-2.13-layout ``.keras`` zip (the reference checkpoint
     format produced by `model.save` — reference notebook 03 cell 17):
-    a zip holding config.json / metadata.json / model.weights.h5, with
-    weights keyed ``_layer_checkpoint_dependencies/<layer>/vars/<i>``.
+    a zip holding metadata.json / config.json / model.weights.h5 in the
+    genuine member order, with weight groups addressed the way keras
+    saving_lib addresses them —
+    ``_layer_checkpoint_dependencies/<class_snake[_k]>/vars/<i>`` with the
+    true layer name recorded as the ``vars`` group's ``name`` attribute
+    (the class is inferred from this repo's layer-name suffix
+    conventions; the loader keys by the attribute, so the group name is
+    structural fidelity, not a correctness requirement).
 
     ``extra_files`` maps additional zip member names to string contents
     (used by the `ssdseglib` compat facade to embed the model config so
@@ -342,11 +369,30 @@ def save_keras_file(
 
     import h5py
 
+    def class_snake(layer: str) -> str:
+        # suffix -> keras class, per this repo's reference-mirroring layer
+        # naming (models/mobilenetv2.py, models/heads.py)
+        if layer.endswith("-batchnorm"):
+            return "batch_normalization"
+        if layer.endswith("-sepconv"):
+            return "separable_conv2d"
+        if layer.endswith("-depthwise-conv") or layer.endswith("-depthwise"):
+            return "depthwise_conv2d"
+        if layer.endswith("-conv"):
+            return "conv2d"
+        return "layer"
+
     buf = io.BytesIO()
+    used: Dict[str, int] = {}
     with h5py.File(buf, "w") as h5:
         root = h5.create_group("_layer_checkpoint_dependencies")
         for layer, arrays in weights_by_layer.items():
-            g = root.create_group(layer).create_group("vars")
+            base = class_snake(layer)
+            k = used.get(base)
+            used[base] = 0 if k is None else k + 1
+            group = base if k is None else f"{base}_{used[base]}"
+            g = root.create_group(group).create_group("vars")
+            g.attrs["name"] = layer
             for i, arr in enumerate(arrays):
                 g.create_dataset(str(i), data=np.asarray(arr))
     with zipfile.ZipFile(path, "w") as zf:
