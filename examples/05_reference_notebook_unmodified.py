@@ -37,7 +37,8 @@ NOTEBOOKS = {
 }
 
 
-def synthesize_data(workdir: str) -> None:
+def synthesize_data(workdir: str, train_samples: int = 8,
+                    test_samples: int = 8) -> None:
     """Write synthetic PNG/CSV triples + the five metadata JSONs the
     notebook's cell 4 reads (reference notebook 03 cell 4)."""
     from PIL import Image
@@ -62,11 +63,11 @@ def synthesize_data(workdir: str) -> None:
         with open(f"{workdir}/data/{name}.json", "w") as f:
             json.dump(triples, f)
 
-    write_split("train", 8, seed=11)
-    write_split("train-additional-persons", 4, seed=22)
-    write_split("train-additional-forklifts", 2, seed=33)
-    write_split("eval-persons-forklifts", 2, seed=44)
-    write_split("test", 8, seed=55)
+    write_split("train", max(2, train_samples // 2), seed=11)
+    write_split("train-additional-persons", max(1, train_samples // 4), seed=22)
+    write_split("train-additional-forklifts", max(1, train_samples // 4), seed=33)
+    write_split("eval-persons-forklifts", max(1, test_samples // 4), seed=44)
+    write_split("test", test_samples, seed=55)
 
 
 def run_notebook(nb: str, namespace: dict) -> dict:
@@ -97,6 +98,11 @@ def main() -> None:
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (CI smoke)")
+    parser.add_argument("--train-samples", type=int, default=14,
+                        help="synthetic training images across the three "
+                        "train splits (default 14: quick smoke)")
+    parser.add_argument("--test-samples", type=int, default=8,
+                        help="synthetic test images (eval + metrics split)")
     args = parser.parse_args()
 
     os.environ.setdefault("MPLBACKEND", "Agg")
@@ -126,7 +132,8 @@ def main() -> None:
     from ssdseglib_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    synthesize_data(workdir)
+    synthesize_data(workdir, train_samples=args.train_samples,
+                    test_samples=args.test_samples)
     os.chdir(workdir)
     print(f"[runner] workdir {workdir}")
 
@@ -145,16 +152,29 @@ def main() -> None:
                   f"grids={len(dbb.feature_maps_shapes)}")
         elif nb == "03":
             history = ns["history"]
-            assert len(history.history["loss"]) > 0
+            losses = history.history["loss"]
+            assert len(losses) > 0
             iou_per_class = ns["iou_per_class"]
             ap = ns["average_precision_per_class"]
-            print(
-                f"\n[runner] VERBATIM_NOTEBOOK_OK "
-                f"epochs={len(history.history['loss'])} "
-                f"final_loss={history.history['loss'][-1]:.4f} "
-                f"mIoU={sum(iou_per_class.values()) / len(iou_per_class):.4f} "
-                f"mAP={sum(ap.values()) / len(ap):.4f}"
+            miou = sum(iou_per_class.values()) / len(iou_per_class)
+            map50 = sum(ap.values()) / len(ap)
+            stats = (
+                f"epochs={len(losses)} "
+                f"first_loss={losses[0]:.4f} final_loss={losses[-1]:.4f} "
+                f"mIoU={miou:.4f} mAP={map50:.4f}"
             )
+            # VERBATIM_NOTEBOOK_OK asserts LEARNING through the verbatim
+            # compat compile/fit/predict/evaluate path (VERDICT r3 item 2):
+            # loss must fall and the cells' own mAP (reference nb 03 cell
+            # 29) must be nonzero.  Short smoke runs (--max-epochs) that
+            # execute every cell but cannot learn yet report
+            # VERBATIM_NOTEBOOK_RAN instead.
+            learned = len(losses) >= 2 and losses[-1] < losses[0] and map50 > 0
+            if learned:
+                print(f"\n[runner] VERBATIM_NOTEBOOK_OK {stats}")
+            else:
+                print(f"\n[runner] VERBATIM_NOTEBOOK_RAN (learning not "
+                      f"asserted: needs more epochs/samples) {stats}")
         elif nb == "99":
             assert sum(ns["instances_per_class"].values()) > 0
             print(f"\n[runner] VERBATIM_NOTEBOOK_99_OK "
