@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM = 0.99
@@ -80,6 +81,28 @@ def set_depthwise_bwd_impl(impl: str) -> None:
             f"depthwise bwd impl must be 'xla' or 'pallas', got {impl!r}"
         )
     DEPTHWISE_BWD_IMPL = impl
+
+
+# Whole-CHAIN backward lowering for DepthwiseConvBN(+ReLU6) in train mode:
+# 'pallas' routes the full dw3x3+BN+ReLU6 unit (inside the measured
+# envelope — block0-dw in the flagship) through ONE custom-VJP whose
+# backward is a single fused Pallas pass (ops/fused_chain_backward.py):
+# mask + BN gradient chain + dgrad + wgrad with nothing materialized to
+# HBM between them.  This is the round-3 depthwise study's own named fix
+# for why the conv-only kernel lost e2e (the custom-call boundary
+# un-fused the elementwise chains).  Measured outcome: see
+# docs/PERFORMANCE.md round-4 whole-chain study.
+# Trace-time switch: set before building/jitting a model.
+CHAIN_BWD_IMPL = "xla"
+
+
+def set_chain_bwd_impl(impl: str) -> None:
+    global CHAIN_BWD_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"chain bwd impl must be 'xla' or 'pallas', got {impl!r}"
+        )
+    CHAIN_BWD_IMPL = impl
 
 
 def set_wgrad_impl(impl: str) -> None:
@@ -290,6 +313,44 @@ class ConvBN(nn.Module):
         return apply_relu(x, self.relu_max)
 
 
+class _ParamHolder(nn.Module):
+    """Declares one 'kernel' param under its module name (scope-compatible
+    with `nn.Conv`'s tree, so checkpoints/importers are impl-agnostic)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _BNStateHolder(nn.Module):
+    """Declares BN scale/bias params + running-stat variables under its
+    module name, matching `nn.BatchNorm`'s tree exactly."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.channels,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.channels,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.channels,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.channels,), jnp.float32),
+        )
+        return scale, bias, ra_mean, ra_var
+
+
 class DepthwiseConvBN(nn.Module):
     """Depthwise conv (one filter per channel) -> batchnorm -> optional relu."""
 
@@ -300,6 +361,17 @@ class DepthwiseConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if train and CHAIN_BWD_IMPL == "pallas":
+            from ssdseglib_tpu.ops.fused_chain_backward import (
+                chain_applicable,
+            )
+
+            _, h, w, c = x.shape
+            if chain_applicable(
+                h, w, c, _pair(self.kernel_size), _pair(self.strides),
+                _pair(self.dilation), self.relu_max,
+            ):
+                return self._fused_chain(x)
         x = depthwise_conv(
             x, self.kernel_size, self.strides, self.dilation, name="conv"
         )
@@ -310,6 +382,33 @@ class DepthwiseConvBN(nn.Module):
             name="batchnorm",
         )(x)
         return apply_relu(x, self.relu_max)
+
+    def _fused_chain(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Train-mode forward through the whole-chain custom-VJP unit
+        (ops/fused_chain_backward.dw_bn_relu6_chain).  Declares the SAME
+        parameter/variable tree as the plain branch ('conv'/'kernel',
+        'batchnorm'/{scale,bias} + batch_stats {mean,var}) and replicates
+        `nn.BatchNorm`'s running-average update."""
+        from ssdseglib_tpu.ops.fused_chain_backward import dw_bn_relu6_chain
+
+        c = x.shape[-1]
+        kernel = _ParamHolder(shape=(3, 3, 1, c), name="conv")()
+        scale, bias, ra_mean, ra_var = _BNStateHolder(
+            channels=c, name="batchnorm"
+        )()
+        y, mean, var = dw_bn_relu6_chain(
+            x, kernel.astype(x.dtype), scale, bias
+        )
+        if not self.is_initializing():
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            ra_mean.value = (
+                BN_MOMENTUM * ra_mean.value + (1.0 - BN_MOMENTUM) * mean
+            )
+            ra_var.value = (
+                BN_MOMENTUM * ra_var.value + (1.0 - BN_MOMENTUM) * var
+            )
+        return y
 
 
 class SepConvBN(nn.Module):
