@@ -58,7 +58,7 @@ def _needs_build() -> bool:
     if not os.path.exists(_LIB_PATH):
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
-    for src in ("dataloader.cpp", "Makefile"):
+    for src in ("dataloader.cpp", "decode_core.h", "Makefile"):
         path = os.path.join(_NATIVE_DIR, src)
         if os.path.exists(path) and os.path.getmtime(path) > lib_mtime:
             return True

@@ -160,3 +160,54 @@ def test_batch_loader_end_to_end(tmp_path):
         np.testing.assert_array_equal(labels[i], pl)
         np.testing.assert_allclose(boxes[i], pb, rtol=1e-6)
         np.testing.assert_array_equal(valid[i], pv)
+
+
+def test_scratch_reuse_across_mixed_decodes():
+    """The round-4 decode path reuses thread-local scratch (IDAT/raw
+    buffers, inflater window, PngImage) across calls — alternating sizes,
+    color types and palette/non-palette images must not leak state
+    (stale palette, oversized buffers, inflater carry-over)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(42)
+    big_rgb = rng.integers(0, 256, size=(120, 160, 3), dtype=np.uint8)
+    small_gray = rng.integers(0, 4, size=(16, 24), dtype=np.uint8)
+    # >16 palette entries so PIL writes an 8-bit palette PNG (the decoder
+    # supports bit depth 8 only, like the dataset's PNGs)
+    pal_arr = rng.integers(0, 20, size=(32, 48), dtype=np.uint8)
+    pal_img = Image.fromarray(pal_arr, mode="P")
+    pal_img.putpalette(list(range(60)))
+    buf = io.BytesIO()
+    pal_img.save(buf, format="PNG")
+    pal_png = buf.getvalue()
+
+    seq = [
+        ("rgb", _png_bytes(big_rgb, "RGB"), big_rgb),
+        ("gray", _png_bytes(small_gray, "L"), small_gray),
+        ("pal", pal_png, pal_arr),
+        ("gray", _png_bytes(small_gray, "L"), small_gray),
+        ("rgb", _png_bytes(big_rgb, "RGB"), big_rgb),
+    ]
+    for _ in range(2):  # second round exercises fully-warm scratch
+        for kind, png, want in seq:
+            if kind == "rgb":
+                got = native_loader.decode_png_rgb(png)
+                np.testing.assert_array_equal(got, want)
+            else:
+                got = native_loader.decode_png_gray(png)
+                np.testing.assert_array_equal(got, want)
+
+
+def test_corrupt_deflate_stream_fails_cleanly():
+    """Truncated/garbled IDAT must fail with a decode error, not succeed
+    or crash — the raw-inflate rewrite keeps the Z_STREAM_END +
+    total_out checks."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    data = bytearray(_png_bytes(arr, "RGB"))
+    # garble bytes in the middle of the file (inside IDAT deflate data)
+    mid = len(data) // 2
+    for i in range(mid, mid + 16):
+        data[i] ^= 0xFF
+    with pytest.raises(native_loader.NativeLoaderError):
+        native_loader.decode_png_rgb(bytes(data))
