@@ -135,42 +135,173 @@ class History:
 _TARGET_KEYS = ("output-mask", "output-labels", "output-boxes")
 
 
-def _exactly_one_hot(arr) -> bool:
-    """True iff `arr` is an exact {0,1} float32 one-hot over its last axis
-    (sum==1 and max==1 over the last axis forces every entry into {0,1})."""
+def _pack_one_hot(arr):
+    """uint8 class map iff `arr` is an exact {0,1} float32 one-hot over
+    its last axis, else None.
+
+    Per-pixel `argmax(-1)`/`max(-1)`/`sum(-1)` over a tiny last axis are
+    slow strided loops in NumPy (seconds per 78 MB mask batch on a 1-core
+    host — measured to dominate the fit loop).  Instead, ONE BLAS gemm
+    computes three moments per row — `s = sum(v)`, `q = sum(i*v)`,
+    `r = sum(i^2*v)` — and the certificate [all entries >= 0, s == 1,
+    r == q*q] holds exactly iff the row is one-hot (nonneg weights with
+    zero variance concentrate on the single index q).  For true one-hot
+    rows every quantity is a small-integer float, so the f32 equalities
+    are exact, and q IS the class index.
+    """
     arr = np.asarray(arr)
     if arr.dtype != np.float32 or arr.ndim < 2 or arr.size == 0:
-        return False
-    return bool(
-        arr.min() >= 0.0
-        and (arr.max(axis=-1) == 1.0).all()
-        and (arr.sum(axis=-1) == 1.0).all()
+        return None
+    c = arr.shape[-1]
+    if c < 2 or c > 255 or arr.min() < 0.0:
+        return None
+    flat = arr.reshape(-1, c)
+    idx = np.arange(c, dtype=np.float32)
+    moments = np.stack(
+        [np.ones(c, np.float32), idx, idx * idx], axis=1
     )
+    p = flat @ moments
+    if not (p[:, 0] == 1.0).all():
+        return None
+    q = p[:, 1]
+    if not (p[:, 2] == q * q).all():
+        return None
+    return q.astype(np.uint8).reshape(arr.shape[:-1])
+
+
+def _pack_images_u8(images):
+    """uint8 view iff every pixel is an exact uint8 value (integers in
+    [0, 255] — true for un-augmented pipelines; the reference's float
+    color augmentation produces non-integer pixels and stays f32).
+    Cuts the dominant host->device transfer 4x; the jitted step casts
+    back to f32 on device, bit-exactly."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        return images
+    if images.dtype != np.float32:
+        return None
+    u8 = images.astype(np.uint8)
+    if (u8.astype(np.float32) == images).all():
+        return u8
+    return None
 
 
 def _pack_host_batch(images, targets):
-    """Pack one host batch for upload; returns (kind, flat_tuple)."""
+    """Pack one host batch for upload; returns (kind, flat_tuple).
+    kind = (targets_packed, images_u8) booleans selecting the jitted
+    step variant with the matching on-device unpack."""
     mask = np.asarray(targets["output-mask"])
     labels = np.asarray(targets["output-labels"])
     boxes = np.asarray(targets["output-boxes"], np.float32)
-    images = np.asarray(images, np.float32)
-    if _exactly_one_hot(mask) and _exactly_one_hot(labels):
-        return "packed", (
-            images,
-            mask.argmax(-1).astype(np.uint8),
-            labels.argmax(-1).astype(np.uint8),
-            boxes,
+    mask_u8 = _pack_one_hot(mask)
+    labels_u8 = _pack_one_hot(labels) if mask_u8 is not None else None
+    images_u8 = _pack_images_u8(images)
+    targets_packed = mask_u8 is not None and labels_u8 is not None
+    kind = (targets_packed, images_u8 is not None)
+    return kind, (
+        images_u8 if images_u8 is not None else np.asarray(images, np.float32),
+        mask_u8 if targets_packed else mask,
+        labels_u8 if targets_packed else labels,
+        boxes,
+    )
+
+
+class _DeviceBatchCache:
+    """Device-resident memo of packed + uploaded batches, keyed by the
+    IDENTITY of the host arrays.
+
+    Re-iterating the same in-memory batch objects epoch after epoch (a
+    list of numpy batches, a cached dataset) re-pays host packing + the
+    full host->device transfer every epoch — ruinous through a
+    remote-attached TPU (~45 MB/s) and on 1-core hosts where packing and
+    upload cannot overlap.  The cache keeps the uploaded device buffers
+    alive across epochs, so a resident dataset trains from HBM — the
+    regime the native examples/04 driver uses.
+
+    Safety: entries are keyed by `id()` of the four host arrays AND hold
+    weakrefs to them — an entry dies with its host array, so a recycled
+    id can never alias a dead object.  Fresh-arrays-per-epoch pipelines
+    (tf.data) simply miss and their entries evaporate with the arrays.
+    The one hazard is an array MUTATED IN PLACE between epochs (same
+    object, new contents): pass ``fit(..., cache_batches=False)`` for
+    such pipelines.  LRU-bounded by device bytes
+    (SSDSEGLIB_BATCH_CACHE_MB, default 2048).
+    """
+
+    def __init__(self, max_bytes: Optional[int] = None) -> None:
+        import threading
+
+        self._lock = threading.RLock()
+        self._entries: Dict[Any, Any] = {}
+        self._order: Dict[Any, None] = {}  # insertion-ordered LRU
+        self._bytes = 0
+        self._max = max_bytes if max_bytes is not None else (
+            int(os.environ.get("SSDSEGLIB_BATCH_CACHE_MB", "2048")) << 20
         )
-    return "plain", (images, mask, labels, boxes)
+
+    def key_refs(self, images, targets):
+        import weakref
+
+        objs = (
+            images,
+            targets["output-mask"],
+            targets["output-labels"],
+            targets["output-boxes"],
+        )
+        key = tuple(id(o) for o in objs)
+
+        def evict(_ref, key=key):
+            with self._lock:
+                entry = self._entries.pop(key, None)
+                self._order.pop(key, None)
+                if entry is not None:
+                    self._bytes -= entry[3]
+
+        try:
+            refs = tuple(weakref.ref(o, evict) for o in objs)
+        except TypeError:
+            return None, None  # unweakrefable host type: no caching
+        return key, refs
+
+    def get(self, key):
+        if key is None:
+            return None
+        with self._lock:
+            entry = self._entries.get(key)
+            if entry is None:
+                return None
+            self._order.pop(key, None)
+            self._order[key] = None
+            return entry[1], entry[2]  # (kind, device_batch)
+
+    def insert(self, key, refs, kind, device_batch) -> None:
+        if key is None:
+            return
+        nbytes = sum(int(getattr(a, "nbytes", 0)) for a in device_batch)
+        with self._lock:
+            if key in self._entries:
+                return
+            while self._bytes + nbytes > self._max and self._order:
+                old = next(iter(self._order))
+                self._order.pop(old)
+                entry = self._entries.pop(old, None)
+                if entry is not None:
+                    self._bytes -= entry[3]
+            if self._bytes + nbytes > self._max:
+                return  # single batch larger than the whole budget
+            self._entries[key] = (refs, kind, device_batch, nbytes)
+            self._order[key] = None
+            self._bytes += nbytes
 
 
 class _Prefetcher:
-    """Producer thread: pulls + packs host batches ahead of the dispatch
-    loop.  Exceptions propagate to the consumer; `close()` stops early."""
+    """Producer thread: pulls host batches ahead of the dispatch loop,
+    resolving each against the device cache (hits skip packing entirely)
+    and packing misses.  Exceptions propagate; `close()` stops early."""
 
     _DONE = object()
 
-    def __init__(self, batches, depth: int = 3) -> None:
+    def __init__(self, batches, cache=None, depth: int = 4) -> None:
         import queue
         import threading
 
@@ -182,7 +313,18 @@ class _Prefetcher:
                 for images, targets in batches:
                     if self._stop.is_set():
                         break
-                    item = _pack_host_batch(images, targets)
+                    key = refs = None
+                    if cache is not None:
+                        key, refs = cache.key_refs(images, targets)
+                        hit = cache.get(key)
+                        if hit is not None:
+                            item = ("hit", hit[0], hit[1])
+                        else:
+                            kind, flat = _pack_host_batch(images, targets)
+                            item = ("miss", key, refs, kind, flat)
+                    else:
+                        kind, flat = _pack_host_batch(images, targets)
+                        item = ("miss", None, None, kind, flat)
                     while not self._stop.is_set():
                         try:
                             self._q.put(item, timeout=0.5)
@@ -210,34 +352,45 @@ class _Prefetcher:
         self._stop.set()
 
 
-def _staged_batches(data, fence, chunk_size: int = 4):
-    """Yield (kind, device_batch) with prefetch + fenced chunk uploads.
+def _staged_batches(data, fence, cache=None, chunk_size: int = 2):
+    """Yield (kind, device_batch) with prefetch, device-cache reuse and
+    fenced chunk uploads.
 
     `fence` is a one-element list the dispatch loop sets to its latest
     on-device metric; each chunk upload first drains the compute queue by
-    blocking on it, then bulk-uploads onto the idle device.
+    blocking on it, then bulk-uploads onto the idle device (a device_put
+    issued while compute is queued serializes badly on remote-attached
+    TPUs).  Cache hits need no fence or upload and dispatch immediately.
+    chunk_size 2 keeps the pipeline fine-grained enough that the producer
+    packs batch N+2 while batch N uploads and N+1 computes.
     """
     import jax
 
-    prefetcher = _Prefetcher(_zip_batches(data))
+    prefetcher = _Prefetcher(_zip_batches(data), cache)
     try:
         buf = []
 
-        def upload(chunk):
+        def flush():
+            if not buf:
+                return
             if fence[0] is not None:
                 jax.block_until_ready(fence[0])
-            return [
-                (kind, tuple(jax.device_put(a) for a in flat))
-                for kind, flat in chunk
-            ]
+            for key, refs, kind, flat in buf:
+                dev = tuple(jax.device_put(a) for a in flat)
+                if cache is not None:
+                    cache.insert(key, refs, kind, dev)
+                yield (kind, dev)
+            buf.clear()
 
         for item in prefetcher:
-            buf.append(item)
-            if len(buf) >= chunk_size:
-                yield from upload(buf)
-                buf = []
-        if buf:
-            yield from upload(buf)
+            if item[0] == "hit":
+                yield from flush()  # preserve batch order
+                yield (item[1], item[2])
+            else:
+                buf.append(item[1:])
+                if len(buf) >= chunk_size:
+                    yield from flush()
+        yield from flush()
     finally:
         prefetcher.close()
 
@@ -268,7 +421,13 @@ class KerasStyleModel:
         self._variables = None
         self._compiled: Optional[Dict[str, Any]] = None
         self._state = None  # TrainState, persists across fit calls
-        self._steps = None  # (train_step, eval_step)
+        self._steps = None  # {kind: (train_step, eval_step)}
+        self._cache = None  # _DeviceBatchCache, persists across fit calls
+
+    def _batch_cache(self) -> "_DeviceBatchCache":
+        if self._cache is None:
+            self._cache = _DeviceBatchCache()
+        return self._cache
 
     # -- variables -------------------------------------------------------
     @property
@@ -346,6 +505,7 @@ class KerasStyleModel:
         loss: Optional[Dict[str, Callable]] = None,
         loss_weights: Optional[Dict[str, float]] = None,
         metrics: Optional[Dict[str, Callable]] = None,
+        compute_dtype: Optional[str] = None,
         **_ignored,
     ) -> None:
         """Record the training objective (reference notebook 03 cell 14).
@@ -353,26 +513,42 @@ class KerasStyleModel:
         `loss` / `metrics` values are `(y_true, y_pred) -> (B,)` callables —
         the `ssdseglib.losses` / `ssdseglib.metrics` factories are jnp
         functions, so they run inside the jitted step directly.
+
+        compute_dtype: forward/backward compute precision ('float32'
+        default = reference parity; 'bfloat16' = the native Trainer's
+        1.64x fast path — f32 master params, f32 losses/BN stats, same
+        mixed-precision recipe as `TrainConfig.compute_dtype`).  Also
+        settable via the SSDSEGLIB_COMPUTE_DTYPE env var; the explicit
+        argument wins.
         """
         import optax
 
         if not loss:
             raise ValueError("compile() needs a loss dict keyed by output name")
+        dtype = compute_dtype or os.environ.get(
+            "SSDSEGLIB_COMPUTE_DTYPE", "float32"
+        )
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32 or bfloat16, got {dtype!r}"
+            )
         self._compiled = {
             "loss": dict(loss),
             "loss_weights": dict(loss_weights or {}),
             "metrics": dict(metrics or {}),
             "tx": optax.adam(_learning_rate_of(optimizer)),
+            "compute_dtype": dtype,
         }
         self._state = None
         self._steps = None
 
     # -- jitted steps ----------------------------------------------------
-    def _build_steps(self, kind: str = "plain"):
+    def _build_steps(self, kind=(False, False)):
         """(train_step, eval_step) over a flat (images, mask, labels,
-        boxes) batch.  kind='packed' takes uint8 class-map mask/labels and
-        re-one-hots them ON DEVICE inside the same jitted program — fused
-        by XLA, and 16x less host->device mask traffic than f32 one-hot."""
+        boxes) batch.  kind = (targets_packed, images_u8): packed targets
+        arrive as uint8 class maps and are re-one-hot ON DEVICE inside the
+        same jitted program (16x less host->device mask traffic than f32
+        one-hot); uint8 images are cast back to f32 on device (4x less)."""
         if self._steps is None:
             self._steps = {}
         if kind in self._steps:
@@ -389,12 +565,17 @@ class KerasStyleModel:
         metric_fns = self._compiled["metrics"]
         tx = self._compiled["tx"]
         num_classes = self.cfg.number_of_classes
+        targets_packed, images_u8 = kind
+        compute_dtype = jnp.dtype(self._compiled.get("compute_dtype", "float32"))
+        mixed = compute_dtype != jnp.float32
 
-        def unflatten_targets(mask, labels, boxes):
-            if kind == "packed":
+        def unflatten(images, mask, labels, boxes):
+            if images_u8:
+                images = images.astype(jnp.float32)
+            if targets_packed:
                 mask = jax.nn.one_hot(mask, num_classes, dtype=jnp.float32)
                 labels = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
-            return {
+            return images, {
                 "output-mask": mask,
                 "output-labels": labels,
                 "output-boxes": boxes,
@@ -415,19 +596,37 @@ class KerasStyleModel:
                 )
             return total, logs
 
+        def apply_variables(params, batch_stats, images):
+            # same mixed-precision recipe as ssdseglib_tpu.train.Trainer:
+            # grads flow through the cast back to the f32 master params;
+            # losses/metrics and the stored BN statistics stay f32
+            if mixed:
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), t
+                )
+                return (
+                    {"params": cast(params), "batch_stats": cast(batch_stats)},
+                    images.astype(compute_dtype),
+                )
+            return {"params": params, "batch_stats": batch_stats}, images
+
         def loss_fn(params, batch_stats, images, targets):
+            apply_vars, imgs = apply_variables(params, batch_stats, images)
             outputs, mutated = module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
+                apply_vars, imgs, train=True, mutable=["batch_stats"],
+            )
+            outputs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), outputs
+            )
+            new_stats = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), mutated["batch_stats"]
             )
             total, logs = losses_and_logs(outputs, targets)
-            return total, (mutated["batch_stats"], logs)
+            return total, (new_stats, logs)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, images, mask, labels, boxes):
-            targets = unflatten_targets(mask, labels, boxes)
+            images, targets = unflatten(images, mask, labels, boxes)
             grads, (new_stats, logs) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, images, targets
             )
@@ -447,11 +646,13 @@ class KerasStyleModel:
 
         @jax.jit
         def eval_step(state, images, mask, labels, boxes):
-            targets = unflatten_targets(mask, labels, boxes)
-            outputs = module.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                images,
-                train=False,
+            images, targets = unflatten(images, mask, labels, boxes)
+            apply_vars, imgs = apply_variables(
+                state.params, state.batch_stats, images
+            )
+            outputs = module.apply(apply_vars, imgs, train=False)
+            outputs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), outputs
             )
             return losses_and_logs(outputs, targets)[1]
 
@@ -476,6 +677,7 @@ class KerasStyleModel:
         validation_data=None,
         callbacks=None,
         steps_per_epoch: Optional[int] = None,
+        cache_batches: bool = True,
         **_ignored,
     ) -> History:
         """Keras-style epoch loop (reference notebook 03 cell 16).
@@ -483,6 +685,10 @@ class KerasStyleModel:
         `x` / `validation_data`: a tf.data.Dataset yielding
         ``(images, {'output-mask', 'output-labels', 'output-boxes'})``
         batches (the notebook pipeline), or any re-iterable of such pairs.
+
+        cache_batches: keep uploaded batches device-resident across
+        epochs, keyed by host-array identity (see `_DeviceBatchCache` —
+        set False for pipelines that MUTATE batch arrays in place).
         """
         import jax
 
@@ -499,13 +705,14 @@ class KerasStyleModel:
         # on-device metric fence shared by the staged uploader: each chunk
         # upload drains the compute queue before issuing device_puts
         fence = [None]
+        cache = self._batch_cache() if cache_batches else None
 
         for epoch in range(epochs):
             t0 = time.perf_counter()
             # accumulate metrics ON DEVICE; float() once per epoch
             agg: Dict[str, Any] = {}
             n = 0
-            for kind, batch in _staged_batches(x, fence):
+            for kind, batch in _staged_batches(x, fence, cache):
                 train_step, _ = self._build_steps(kind)
                 state, logs = train_step(state, *batch)
                 fence[0] = logs["loss"]
@@ -522,7 +729,9 @@ class KerasStyleModel:
             if validation_data is not None:
                 vagg: Dict[str, Any] = {}
                 vn = 0
-                for kind, batch in _staged_batches(validation_data, fence):
+                for kind, batch in _staged_batches(
+                    validation_data, fence, cache
+                ):
                     _, eval_step = self._build_steps(kind)
                     logs = eval_step(state, *batch)
                     fence[0] = logs["loss"]
@@ -550,12 +759,14 @@ class KerasStyleModel:
         }
         return history
 
-    def evaluate(self, x=None, verbose="auto", return_dict: bool = True, **_):
+    def evaluate(self, x=None, verbose="auto", return_dict: bool = True,
+                 cache_batches: bool = True, **_):
         state = self._ensure_state()
         agg: Dict[str, Any] = {}
         n = 0
         fence = [None]
-        for kind, batch in _staged_batches(x, fence):
+        cache = self._batch_cache() if cache_batches else None
+        for kind, batch in _staged_batches(x, fence, cache):
             _, eval_step = self._build_steps(kind)
             logs = eval_step(state, *batch)
             fence[0] = logs["loss"]

@@ -34,7 +34,7 @@ from ssdseglib_tpu.train import Trainer, TrainState
 from ssdseglib_tpu.utils.compile_cache import enable_compile_cache
 
 BATCH = 16
-SAMPLES = 64
+SAMPLES = 96
 EPOCHS = 3  # first epoch = compile warmup, timed over the rest
 
 
