@@ -170,8 +170,22 @@ def main() -> None:
             losses = history.history["loss"]
             assert len(losses) > 0
             iou_per_class = ns["iou_per_class"]
-            ap = ns["average_precision_per_class"]
             miou = sum(iou_per_class.values()) / len(iou_per_class)
+            # cell 14 loops IoU 0.5/0.6/0.7, so the namespace variable holds
+            # the LAST (0.7) table; the learning assertion is mAP@0.5
+            # (VERDICT r3 item 2) — recompute it from the cells' own
+            # prediction arrays with the cells' own evaluator.
+            import ssdseglib
+
+            ap = ssdseglib.evaluators.average_precision_object_detection(
+                labels_pred_batch=ns["labels_pred_batch"],
+                confidences_pred_batch=ns["confidences_pred_batch"],
+                boxes_pred_batch=ns["boxes_pred_batch"],
+                iou_threshold=0.5,
+                path_files_labels_boxes=ns["path_files_labels_boxes_test"],
+                labels_codes=ns["LABELS_CODES"],
+                label_code_background=ns["LABEL_CODE_BACKGROUND"],
+            )
             map50 = sum(ap.values()) / len(ap)
             stats = (
                 f"epochs={len(losses)} "

@@ -15,8 +15,13 @@ Measured on the flagship serving path through the axon relay
 Usage (before building models; examples call this by default):
 
     from ssdseglib_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()            # ~/.cache/ssdseglib_tpu/jax_cache
-    enable_compile_cache("/fast/dir") # explicit location
+    enable_compile_cache()            # ~/.cache/ssdseglib_tpu/jax_cache/host-<isa>
+    enable_compile_cache("/fast/dir") # explicit location (+ host-<isa> subdir)
+
+The cache lives in a per-host-ISA subdirectory (``host-<fingerprint>``):
+XLA:CPU cache entries are AOT executables compiled against the writing
+host's CPU features and can SIGILL on a narrower host when containers
+migrate between heterogeneous machines.
 
 Environment override: ``SSDSEGLIB_COMPILE_CACHE`` sets the directory
 (``0``/``off`` disables the default-on behaviour in examples).
@@ -31,6 +36,34 @@ _ENV_VAR = "SSDSEGLIB_COMPILE_CACHE"
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "ssdseglib_tpu", "jax_cache"
 )
+
+
+def _host_fingerprint() -> str:
+    """Short stable id of the host CPU's ISA feature set.
+
+    XLA:CPU cache entries are AOT executables compiled against the
+    compile host's CPU features; loading one on a host with a narrower
+    feature set risks SIGILL (observed: entries written by an earlier
+    container on an AMX-capable machine spam feature-mismatch errors on
+    this host).  Scoping the cache directory per feature set makes CPU
+    entries host-safe; remote-TPU entries don't depend on local ISA and
+    simply re-cache per host generation (rare).
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not flags:
+        flags = f"{platform.machine()}|{platform.processor()}"
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
@@ -54,6 +87,10 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         ):
             return None
         cache_dir = env or _DEFAULT_DIR
+    # per-host-ISA subdirectory: XLA:CPU entries are AOT-compiled against
+    # the writing host's CPU features and may SIGILL on a narrower host
+    # (fleet containers migrate between machines) — see _host_fingerprint
+    cache_dir = os.path.join(cache_dir, f"host-{_host_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything: the default min-compile-time threshold (1 s) would

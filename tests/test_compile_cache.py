@@ -36,7 +36,12 @@ def test_enable_populates_cache_and_results_match(tmp_path):
     try:
         cache_dir = str(tmp_path / "jax_cache")
         used = enable_compile_cache(cache_dir)
-        assert used == cache_dir and os.path.isdir(cache_dir)
+        # host-ISA-scoped subdirectory (XLA:CPU entries are AOT executables
+        # compiled against the writing host's CPU features)
+        assert used.startswith(cache_dir + os.sep)
+        assert os.path.basename(used).startswith("host-")
+        assert os.path.isdir(used)
+        cache_dir = used
 
         def make():
             @jax.jit
@@ -66,12 +71,12 @@ def test_env_var_controls_default(tmp_path, monkeypatch):
 
         env_dir = str(tmp_path / "env_cache")
         monkeypatch.setenv("SSDSEGLIB_COMPILE_CACHE", env_dir)
-        assert enable_compile_cache() == env_dir
-        assert os.path.isdir(env_dir)
+        used = enable_compile_cache()
+        assert used.startswith(env_dir + os.sep) and os.path.isdir(used)
 
         # explicit argument wins over a disabling env value
         monkeypatch.setenv("SSDSEGLIB_COMPILE_CACHE", "0")
         arg_dir = str(tmp_path / "arg_cache")
-        assert enable_compile_cache(arg_dir) == arg_dir
+        assert enable_compile_cache(arg_dir).startswith(arg_dir + os.sep)
     finally:
         _restore(old)
