@@ -47,15 +47,38 @@ def synthesize_data(workdir: str, train_samples: int = 8,
 
     os.makedirs(f"{workdir}/data/images", exist_ok=True)
 
+    # generator fingerprint: a persistent --workdir synthesized by an older
+    # generate_sample (or different seed/scene options) must be regenerated,
+    # not silently reused (ADVICE r4) — hash the generator's source
+    import hashlib
+    import inspect
+
+    from ssdseglib_tpu.data import synthetic as _synthetic
+
+    generator_version = hashlib.blake2b(
+        inspect.getsource(_synthetic).encode(), digest_size=8
+    ).hexdigest()
+
     def write_split(name: str, count: int, seed: int):
-        # idempotent: reuse a previously synthesized split of the same size
-        # (the 480x640 PNG encodes cost ~1 s/sample on this 1-core host)
+        # idempotent: reuse a previously synthesized split only when the
+        # manifest matches (count, seed, scene options, generator version)
+        # and EVERY triple's files exist (the 480x640 PNG encodes cost
+        # ~1 s/sample on this 1-core host)
         path_json = f"{workdir}/data/{name}.json"
-        if os.path.exists(path_json):
+        path_manifest = f"{workdir}/data/{name}.manifest.json"
+        manifest = {
+            "count": count,
+            "seed": seed,
+            "non_overlapping": True,
+            "generator_version": generator_version,
+        }
+        if os.path.exists(path_json) and os.path.exists(path_manifest):
             with open(path_json) as f:
                 existing = json.load(f)
-            if len(existing) == count and all(
-                os.path.exists(f"{workdir}/{p}") for p in existing[-1]
+            with open(path_manifest) as f:
+                existing_manifest = json.load(f)
+            if existing_manifest == manifest and all(
+                os.path.exists(f"{workdir}/{p}") for t in existing for p in t
             ):
                 return
         triples = []
@@ -77,6 +100,8 @@ def synthesize_data(workdir: str, train_samples: int = 8,
             triples.append([pi, pm, pl])
         with open(f"{workdir}/data/{name}.json", "w") as f:
             json.dump(triples, f)
+        with open(path_manifest, "w") as f:
+            json.dump(manifest, f)
 
     write_split("train", max(2, train_samples // 2), seed=11)
     write_split("train-additional-persons", max(1, train_samples // 4), seed=22)
@@ -113,10 +138,12 @@ def main() -> None:
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (CI smoke)")
-    parser.add_argument("--train-samples", type=int, default=14,
+    parser.add_argument("--train-samples", type=int, default=256,
                         help="synthetic training images across the three "
-                        "train splits (default 14: quick smoke)")
-    parser.add_argument("--test-samples", type=int, default=8,
+                        "train splits (default 256: enough for the "
+                        "VERBATIM_NOTEBOOK_OK learning gate; CI smoke "
+                        "passes 14 explicitly)")
+    parser.add_argument("--test-samples", type=int, default=64,
                         help="synthetic test images (eval + metrics split)")
     args = parser.parse_args()
 

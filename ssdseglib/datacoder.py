@@ -15,6 +15,8 @@ per-sample encode shouldn't ride the (single-client, high-RTT) TPU relay.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import ssdseglib_tpu.datacoder as _impl
@@ -22,6 +24,24 @@ import ssdseglib_tpu.datacoder as _impl
 globals().update(
     {k: v for k, v in vars(_impl).items() if not k.startswith("__")}
 )
+
+#: Packed wire format for the tf.data bridge (default ON — disable with
+#: SSDSEGLIB_PACKED_PIPELINE=0 for the bit-exact float32 reference wire):
+#: `read_and_encode` emits uint8 images / uint8 class-map masks / uint8
+#: label indices instead of float32 one-hot (16x less mask bandwidth
+#: through tf.data AND the host->device link), and
+#: `augmentation_rgb_channels` defers the color jitter to the device — the
+#: TPU-native placement (the native pipeline runs flip/color/one-hot/match
+#: inside the jitted step, data/pipeline.py) — by tagging the batch with a
+#: per-batch seed the compat `fit` consumes.  The unpacked tensors are
+#: reconstructed bit-exactly on device (exact {0,1} one-hot, reference
+#: datacoder.py:247-248, :333); only the color jitter's RNG stream differs
+#: from the host TF path (same distribution, jax PRNG).
+COLOR_AUG_SEED_KEY = "__ssdseglib-color-aug-seed__"
+
+
+def _packed_pipeline() -> bool:
+    return os.environ.get("SSDSEGLIB_PACKED_PIPELINE", "1") != "0"
 
 
 def _cpu_scope():
@@ -62,6 +82,42 @@ class DataEncoderDecoder(_impl.DataEncoderDecoder):
 
         import tensorflow as tf
 
+        h, w = self.image_height, self.image_width
+        n = self.anchors.total_boxes
+
+        if _packed_pipeline():
+            # packed wire: u8 image / u8 class-map mask / u8 label indices
+            # (one-hot reconstructed bit-exactly ON DEVICE by the compat
+            # `fit` jitted step — ssdseglib/models.py)
+            def _host_packed(pi, pm, pl):
+                with _cpu_scope():
+                    image, mask, labels, boxes = (
+                        _impl.DataEncoderDecoder.read_and_encode_packed(
+                            self, _as_path(pi), _as_path(pm), _as_path(pl)
+                        )
+                    )
+                return (
+                    np.ascontiguousarray(image),
+                    np.ascontiguousarray(mask),
+                    labels,
+                    np.asarray(boxes, np.float32),
+                )
+
+            image, mask, labels, boxes = tf.numpy_function(
+                _host_packed,
+                [path_file_image, path_file_mask, path_file_labels_boxes],
+                [tf.uint8, tf.uint8, tf.uint8, tf.float32],
+            )
+            image.set_shape((h, w, 3))
+            mask.set_shape((h, w))
+            labels.set_shape((n,))
+            boxes.set_shape((n, 4))
+            return image, {
+                "output-mask": mask,
+                "output-labels": labels,
+                "output-boxes": boxes,
+            }
+
         def _host(pi, pm, pl):
             with _cpu_scope():
                 image, targets = _impl.DataEncoderDecoder.read_and_encode(
@@ -79,8 +135,6 @@ class DataEncoderDecoder(_impl.DataEncoderDecoder):
             [path_file_image, path_file_mask, path_file_labels_boxes],
             [tf.float32, tf.float32, tf.float32, tf.float32],
         )
-        h, w = self.image_height, self.image_width
-        n = self.anchors.total_boxes
         image.set_shape((h, w, 3))
         mask.set_shape((h, w, self.num_classes))
         labels.set_shape((n, self.num_classes))
@@ -94,11 +148,25 @@ class DataEncoderDecoder(_impl.DataEncoderDecoder):
 
 def augmentation_rgb_channels(image_batch, targets_batch):
     """Batch color augmentation usable in `Dataset.map` (reference
-    datacoder.py:434-466; notebook 03 cell 8)."""
+    datacoder.py:434-466; notebook 03 cell 8).
+
+    On a packed-pipeline batch (uint8 images from the packed
+    `read_and_encode`) the jitter is DEFERRED to the device: the batch is
+    passed through untouched with a fresh per-batch seed in the targets
+    dict (`COLOR_AUG_SEED_KEY`), and the compat `fit`/`evaluate` apply the
+    same `ops/color.py` jitter inside the jitted step — images then cross
+    the host->device link as uint8 (4x less traffic) and the 4-pass
+    elementwise chain runs on the TPU instead of the 1-core host."""
     if not _is_tf_tensor(image_batch):
         return _impl.augmentation_rgb_channels(image_batch, targets_batch)
 
     import tensorflow as tf
+
+    if image_batch.dtype == tf.uint8 and isinstance(targets_batch, dict):
+        seed = tf.random.uniform(
+            (), minval=0, maxval=2**31 - 1, dtype=tf.int32
+        )
+        return image_batch, {**targets_batch, COLOR_AUG_SEED_KEY: seed}
 
     def _host(images):
         import jax

@@ -134,6 +134,12 @@ class History:
 
 _TARGET_KEYS = ("output-mask", "output-labels", "output-boxes")
 
+#: per-batch color-jitter seed the packed tf.data bridge attaches to the
+#: targets dict (ssdseglib/datacoder.py augmentation_rgb_channels): the
+#: jitter then runs ON DEVICE inside the jitted step, so images cross the
+#: host->device link as uint8
+from ssdseglib.datacoder import COLOR_AUG_SEED_KEY as _COLOR_AUG_SEED_KEY
+
 
 def _pack_one_hot(arr):
     """uint8 class map iff `arr` is an exact {0,1} float32 one-hot over
@@ -188,22 +194,35 @@ def _pack_images_u8(images):
 
 def _pack_host_batch(images, targets):
     """Pack one host batch for upload; returns (kind, flat_tuple).
-    kind = (targets_packed, images_u8) booleans selecting the jitted
-    step variant with the matching on-device unpack."""
+    kind = (targets_packed, images_u8, color_aug) booleans selecting the
+    jitted step variant with the matching on-device unpack.
+
+    Batches from the packed tf.data bridge (ssdseglib/datacoder.py) arrive
+    PRE-packed — uint8 class-map mask (B, H, W) / uint8 label indices
+    (B, N) / uint8 images — and skip the packing gemms entirely; a
+    `COLOR_AUG_SEED_KEY` entry in the targets dict requests the deferred
+    on-device color jitter (seed appended as a scalar int32 leaf)."""
+    seed = targets.get(_COLOR_AUG_SEED_KEY) if isinstance(targets, dict) else None
     mask = np.asarray(targets["output-mask"])
     labels = np.asarray(targets["output-labels"])
     boxes = np.asarray(targets["output-boxes"], np.float32)
-    mask_u8 = _pack_one_hot(mask)
-    labels_u8 = _pack_one_hot(labels) if mask_u8 is not None else None
+    if mask.dtype == np.uint8 and labels.dtype == np.uint8:
+        mask_u8, labels_u8 = mask, labels
+    else:
+        mask_u8 = _pack_one_hot(mask)
+        labels_u8 = _pack_one_hot(labels) if mask_u8 is not None else None
     images_u8 = _pack_images_u8(images)
     targets_packed = mask_u8 is not None and labels_u8 is not None
-    kind = (targets_packed, images_u8 is not None)
-    return kind, (
+    kind = (targets_packed, images_u8 is not None, seed is not None)
+    flat = (
         images_u8 if images_u8 is not None else np.asarray(images, np.float32),
         mask_u8 if targets_packed else mask,
         labels_u8 if targets_packed else labels,
         boxes,
     )
+    if seed is not None:
+        flat = flat + (np.asarray(seed, np.int32),)
+    return kind, flat
 
 
 class _DeviceBatchCache:
@@ -226,15 +245,27 @@ class _DeviceBatchCache:
     object, new contents): pass ``fit(..., cache_batches=False)`` for
     such pipelines.  LRU-bounded by device bytes
     (SSDSEGLIB_BATCH_CACHE_MB, default 2048).
+
+    key_mode='content' instead keys by a blake2b digest of the array
+    BYTES (`fit(..., cache_batches='content')`): fresh-but-identical
+    arrays per epoch (a deterministic un-augmented tf.data pipeline,
+    whose `as_numpy_iterator` materializes new buffers every pass) then
+    HIT, at ~the cost of one memory pass per miss epoch.  Pipelines with
+    live augmentation (the reference notebook's — random flip + color
+    jitter per epoch, reference notebook 03 cell 3) can never hit under
+    EITHER mode; their lever is the packed wire format, not caching.
     """
 
-    def __init__(self, max_bytes: Optional[int] = None) -> None:
+    def __init__(
+        self, max_bytes: Optional[int] = None, key_mode: str = "id"
+    ) -> None:
         import threading
 
         self._lock = threading.RLock()
         self._entries: Dict[Any, Any] = {}
         self._order: Dict[Any, None] = {}  # insertion-ordered LRU
         self._bytes = 0
+        self.key_mode = key_mode
         self._max = max_bytes if max_bytes is not None else (
             int(os.environ.get("SSDSEGLIB_BATCH_CACHE_MB", "2048")) << 20
         )
@@ -248,7 +279,27 @@ class _DeviceBatchCache:
             targets["output-labels"],
             targets["output-boxes"],
         )
-        key = tuple(id(o) for o in objs)
+        seed = (
+            targets.get(_COLOR_AUG_SEED_KEY)
+            if isinstance(targets, dict)
+            else None
+        )
+        # the color seed is part of the batch identity (same arrays +
+        # different jitter = different device batch); a scalar, so its
+        # VALUE keys in both modes
+        seed_part = () if seed is None else (int(seed),)
+
+        if self.key_mode == "content":
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            for o in objs:
+                arr = np.ascontiguousarray(np.asarray(o))
+                h.update(str((arr.dtype.str, arr.shape)).encode())
+                h.update(memoryview(arr).cast("B"))
+            return ("content", h.hexdigest()) + seed_part, None
+
+        key = tuple(id(o) for o in objs) + seed_part
 
         def evict(_ref, key=key):
             with self._lock:
@@ -424,9 +475,23 @@ class KerasStyleModel:
         self._steps = None  # {kind: (train_step, eval_step)}
         self._cache = None  # _DeviceBatchCache, persists across fit calls
 
-    def _batch_cache(self) -> "_DeviceBatchCache":
-        if self._cache is None:
-            self._cache = _DeviceBatchCache()
+    def _batch_cache(self, cache_batches) -> "Optional[_DeviceBatchCache]":
+        """Resolve the `cache_batches` knob: False -> no cache, True ->
+        identity keys, 'content' -> content keys (see `_DeviceBatchCache`).
+        SSDSEGLIB_BATCH_CACHE_KEY=content upgrades True to content mode.
+        The cache persists across fit/evaluate calls; switching modes
+        rebuilds it."""
+        if not cache_batches:
+            return None
+        mode = (
+            cache_batches
+            if isinstance(cache_batches, str)
+            else os.environ.get("SSDSEGLIB_BATCH_CACHE_KEY", "id")
+        )
+        if mode not in ("id", "content"):
+            raise ValueError(f"cache_batches mode must be 'content', got {mode!r}")
+        if self._cache is None or self._cache.key_mode != mode:
+            self._cache = _DeviceBatchCache(key_mode=mode)
         return self._cache
 
     # -- variables -------------------------------------------------------
@@ -543,12 +608,15 @@ class KerasStyleModel:
         self._steps = None
 
     # -- jitted steps ----------------------------------------------------
-    def _build_steps(self, kind=(False, False)):
+    def _build_steps(self, kind=(False, False, False)):
         """(train_step, eval_step) over a flat (images, mask, labels,
-        boxes) batch.  kind = (targets_packed, images_u8): packed targets
-        arrive as uint8 class maps and are re-one-hot ON DEVICE inside the
-        same jitted program (16x less host->device mask traffic than f32
-        one-hot); uint8 images are cast back to f32 on device (4x less)."""
+        boxes[, color_seed]) batch.  kind = (targets_packed, images_u8,
+        color_aug): packed targets arrive as uint8 class maps and are
+        re-one-hot ON DEVICE inside the same jitted program (16x less
+        host->device mask traffic than f32 one-hot); uint8 images are cast
+        back to f32 on device (4x less); color_aug applies the deferred
+        per-batch color jitter (ops/color.py, reference datacoder.py:
+        434-466 semantics) on device from the batch's seed leaf."""
         if self._steps is None:
             self._steps = {}
         if kind in self._steps:
@@ -559,19 +627,25 @@ class KerasStyleModel:
         import jax.numpy as jnp
         import optax
 
+        from ssdseglib_tpu.ops import color as color_ops
+
         module = self.module
         losses = self._compiled["loss"]
         weights = self._compiled["loss_weights"]
         metric_fns = self._compiled["metrics"]
         tx = self._compiled["tx"]
         num_classes = self.cfg.number_of_classes
-        targets_packed, images_u8 = kind
+        targets_packed, images_u8, color_aug = kind
         compute_dtype = jnp.dtype(self._compiled.get("compute_dtype", "float32"))
         mixed = compute_dtype != jnp.float32
 
-        def unflatten(images, mask, labels, boxes):
+        def unflatten(images, mask, labels, boxes, *rest):
             if images_u8:
                 images = images.astype(jnp.float32)
+            if color_aug:
+                images = color_ops.augmentation_rgb_channels(
+                    jax.random.key(rest[0]), images
+                )
             if targets_packed:
                 mask = jax.nn.one_hot(mask, num_classes, dtype=jnp.float32)
                 labels = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
@@ -625,8 +699,8 @@ class KerasStyleModel:
             return total, (new_stats, logs)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images, mask, labels, boxes):
-            images, targets = unflatten(images, mask, labels, boxes)
+        def train_step(state, images, mask, labels, boxes, *rest):
+            images, targets = unflatten(images, mask, labels, boxes, *rest)
             grads, (new_stats, logs) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, images, targets
             )
@@ -645,8 +719,8 @@ class KerasStyleModel:
             )
 
         @jax.jit
-        def eval_step(state, images, mask, labels, boxes):
-            images, targets = unflatten(images, mask, labels, boxes)
+        def eval_step(state, images, mask, labels, boxes, *rest):
+            images, targets = unflatten(images, mask, labels, boxes, *rest)
             apply_vars, imgs = apply_variables(
                 state.params, state.batch_stats, images
             )
@@ -687,8 +761,11 @@ class KerasStyleModel:
         batches (the notebook pipeline), or any re-iterable of such pairs.
 
         cache_batches: keep uploaded batches device-resident across
-        epochs, keyed by host-array identity (see `_DeviceBatchCache` —
-        set False for pipelines that MUTATE batch arrays in place).
+        epochs — True keys by host-array identity, 'content' by array
+        bytes (hits fresh-but-identical arrays, e.g. a deterministic
+        un-augmented tf.data pipeline re-materializing per epoch; see
+        `_DeviceBatchCache`), False disables (required for pipelines that
+        MUTATE batch arrays in place under identity keys).
         """
         import jax
 
@@ -705,7 +782,7 @@ class KerasStyleModel:
         # on-device metric fence shared by the staged uploader: each chunk
         # upload drains the compute queue before issuing device_puts
         fence = [None]
-        cache = self._batch_cache() if cache_batches else None
+        cache = self._batch_cache(cache_batches)
 
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -744,7 +821,13 @@ class KerasStyleModel:
                     )
 
             history.epoch.append(epoch)
-            if verbose not in (0, "0"):
+            # SSDSEGLIB_VERBOSE_FIT=1: runner-controlled progress lines even
+            # when the verbatim cell passes verbose=0 (reference notebook 03
+            # cell 16) — the 105-epoch TPU run is otherwise silent for hours
+            if os.environ.get("SSDSEGLIB_VERBOSE_FIT") == "1" or verbose not in (
+                0,
+                "0",
+            ):
                 dt = time.perf_counter() - t0
                 line = f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, {n} steps]"
                 for k in ("loss", "val_loss"):
@@ -765,7 +848,7 @@ class KerasStyleModel:
         agg: Dict[str, Any] = {}
         n = 0
         fence = [None]
-        cache = self._batch_cache() if cache_batches else None
+        cache = self._batch_cache(cache_batches)
         for kind, batch in _staged_batches(x, fence, cache):
             _, eval_step = self._build_steps(kind)
             logs = eval_step(state, *batch)
@@ -789,7 +872,7 @@ class KerasStyleModel:
         )
         for batch in _iter_batches(x):
             images = batch[0] if isinstance(batch, (tuple, list)) else batch
-            result = forward(self.variables, images)
+            result = forward(self.variables, np.asarray(images, np.float32))
             for k in outs:
                 outs[k].append(np.asarray(result[k]))
         return [np.concatenate(outs[k], axis=0) for k in outs]

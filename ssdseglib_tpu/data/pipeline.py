@@ -36,6 +36,7 @@ from ssdseglib_tpu.datacoder import (
     pad_ground_truth,
     read_labels_boxes_csv,
 )
+from ssdseglib_tpu.utils import sample_cache as _sample_cache
 
 PathTriple = Tuple[str, str, str]  # (image.png, mask.png, labels_boxes.csv)
 Sample = Union[PathTriple, SyntheticSample]
@@ -111,6 +112,7 @@ class HostBatcher:
         prefetch: int = 2,
         use_native: bool = True,
         image_shape: Optional[Tuple[int, int]] = None,
+        use_sample_cache: bool = True,
     ) -> None:
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -126,6 +128,18 @@ class HostBatcher:
         all_paths = all(
             not isinstance(s, SyntheticSample) for s in self.samples
         )
+        # cross-epoch decoded-sample memo (utils/sample_cache.py): decode
+        # is deterministic per file, so epoch >= 2 assembles batches from
+        # host RAM instead of re-inflating PNGs — the augmentation
+        # randomness lives downstream in the jitted device transform.
+        # Shared process-wide (same entries as the compat datacoder).
+        self._cache = (
+            _sample_cache.global_sample_cache()
+            if use_sample_cache and all_paths
+            else None
+        )
+        if self._cache is not None and not self._cache.enabled:
+            self._cache = None
         self._native_error: type = Exception
         self._native_fallback_warned = False
         if use_native and all_paths and self.samples and image_shape:
@@ -175,27 +189,12 @@ class HostBatcher:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
 
-                    def python_batch(idx):
-                        loaded = list(
-                            pool.map(
-                                lambda i: _load_sample(
-                                    self.samples[i], self.max_gt
-                                ),
-                                idx,
-                            )
-                        )
-                        return tuple(
-                            np.stack([s[j] for s in loaded]) for j in range(5)
-                        )
-
-                    for idx in batches:
-                        if stop.is_set():
-                            return
+                    def decode_stacked(samples):
+                        """Decode `samples` -> 5 stacked arrays, native
+                        first with the documented per-batch PIL fallback."""
                         if self._native is not None:
                             try:
-                                batch = self._native.load_batch(
-                                    [self.samples[i] for i in idx]
-                                )
+                                return self._native.load_batch(samples)
                             except self._native_error as e:
                                 # the native decoder covers the dataset's
                                 # PNG subset; PIL decodes more (16-bit,
@@ -218,9 +217,48 @@ class HostBatcher:
                                         "affected batches"
                                     )
                                     self._native_fallback_warned = True
-                                batch = python_batch(idx)
-                        else:
-                            batch = python_batch(idx)
+                        loaded = list(
+                            pool.map(
+                                lambda s: _load_sample(s, self.max_gt),
+                                samples,
+                            )
+                        )
+                        return tuple(
+                            np.stack([s[j] for s in loaded]) for j in range(5)
+                        )
+
+                    def cached_batch(idx):
+                        cache = self._cache
+                        samples = [self.samples[i] for i in idx]
+                        if cache is None:
+                            return decode_stacked(samples)
+                        keys, vals = [], []
+                        for s in samples:
+                            stat = cache.stat_key(*s)
+                            key = (
+                                ("decoded", self.max_gt, stat)
+                                if stat is not None
+                                else None
+                            )
+                            keys.append(key)
+                            vals.append(cache.get(key) if key else None)
+                        missing = [
+                            j for j, v in enumerate(vals) if v is None
+                        ]
+                        if missing:
+                            sub = decode_stacked([samples[j] for j in missing])
+                            for row, j in enumerate(missing):
+                                value = tuple(a[row].copy() for a in sub)
+                                vals[j] = value
+                                cache.put(keys[j], value)
+                        return tuple(
+                            np.stack([v[k] for v in vals]) for k in range(5)
+                        )
+
+                    for idx in batches:
+                        if stop.is_set():
+                            return
+                        batch = cached_batch(idx)
                         if not put(batch):
                             return
                 put(None)
@@ -259,6 +297,7 @@ class TrainDataLoader:
         shuffle: bool = True,
         seed: int = 0,
         num_workers: int = 8,
+        use_sample_cache: bool = True,
     ) -> None:
         self.batcher = HostBatcher(
             samples,
@@ -268,6 +307,7 @@ class TrainDataLoader:
             seed=seed,
             num_workers=num_workers,
             image_shape=encoding.image_shape,
+            use_sample_cache=use_sample_cache,
         )
         # the pure transform; Trainer.fit inlines it into the train step
         # (one executable per step), __iter__ uses the jitted standalone

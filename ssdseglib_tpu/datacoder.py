@@ -34,6 +34,7 @@ from ssdseglib_tpu.boxes import Anchors, coordinates_centroids_to_corners
 from ssdseglib_tpu.config import EncodingConfig
 from ssdseglib_tpu.ops import color as color_ops
 from ssdseglib_tpu.ops import encoding as enc_ops
+from ssdseglib_tpu.utils import sample_cache as _sample_cache
 
 
 def read_image(path_file_image: str) -> np.ndarray:
@@ -314,6 +315,24 @@ class DataEncoderDecoder:
         )
         self._rng = np.random.default_rng(seed)
         self._encode_batch = enc_ops.make_batch_encoder(self.anchors, self.config)
+        # content fingerprint of the encoding function for the shared
+        # sample-cache: two coders with different anchors/config must not
+        # share encoded entries
+        import hashlib
+
+        self._encode_fingerprint = hashlib.blake2b(
+            corners_np.tobytes()
+            + repr(
+                (
+                    num_classes,
+                    tuple(image_shape),
+                    iou_threshold,
+                    tuple(standard_deviations_centroids_offsets),
+                    max_ground_truth_boxes,
+                )
+            ).encode(),
+            digest_size=8,
+        ).hexdigest()
 
     # -- encoding ---------------------------------------------------------
     def encode_ground_truth(
@@ -343,6 +362,101 @@ class DataEncoderDecoder:
         )
         return np.asarray(enc_labels[0]), np.asarray(enc_offsets[0])
 
+    def _load_decoded(self, path_file_image, path_file_mask, path_file_labels_boxes):
+        """Decoded (image u8, mask u8 map, padded gt) through the
+        process-wide sample cache — decode is a pure function of the files,
+        so epoch >= 2 costs lookups, not zlib inflate + CSV parse.  Returns
+        (stat_key_or_None, (image, mask, gl, gb, gv)); cached arrays are
+        immutable (callers copy before flipping)."""
+        cache = _sample_cache.global_sample_cache()
+        stat = (
+            cache.stat_key(path_file_image, path_file_mask, path_file_labels_boxes)
+            if cache.enabled
+            else None
+        )
+        max_gt = self.config.max_ground_truth_boxes
+        if stat is not None:
+            hit = cache.get(("decoded", max_gt, stat))
+            if hit is not None:
+                return stat, hit
+        image = decode_png_rgb(open(path_file_image, "rb").read())
+        mask_map = decode_png_mask(open(path_file_mask, "rb").read())
+        labels, boxes = read_labels_boxes_csv(path_file_labels_boxes)
+        gl, gb, gv = pad_ground_truth(labels, boxes, max_gt)
+        value = (image, mask_map, gl, gb, gv)
+        if stat is not None:
+            cache.put(("decoded", max_gt, stat), value)
+        return stat, value
+
+    def _encode_padded(self, gl, gb, gv, flip: bool):
+        """Encode one padded sample; returns (labels (N, C) f32 one-hot,
+        offsets (N, 4) f32).  Padded slots are masked by `gv` inside the
+        matcher (ops/encoding.py match_anchors), so flipping the zero
+        padding rows is harmless."""
+        if flip:
+            gb = np.asarray(
+                flip_boxes_horizontal(gb, float(self.image_width))
+            )
+        el, eo = self._encode_batch(gl[None], gb[None], gv[None])
+        return np.asarray(el[0]), np.asarray(eo[0])
+
+    def _encode_padded_cached(self, stat, gl, gb, gv, flip: bool):
+        """`_encode_padded` through the sample cache, keyed by (sample
+        files, flip, encoder fingerprint): anchor matching is deterministic
+        given the flip bit, so both variants memoize.  Exactly-one-hot
+        labels are stored packed as uint8 class indices (the common case —
+        the encoder emits background one-hot for unmatched anchors); the
+        zero-row corner case (a GT label outside [0, num_classes), outside
+        the reference data model) stores f32.
+        Returns (enc_labels_f32, enc_offsets, labels_u8_or_None)."""
+        cache = _sample_cache.global_sample_cache()
+        key = (
+            ("encoded", self._encode_fingerprint, flip, stat)
+            if stat is not None
+            else None
+        )
+        if key is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                tag, packed, offsets = hit
+                if tag == "u8":
+                    labels = (
+                        packed[..., None]
+                        == np.arange(self.num_classes, dtype=packed.dtype)
+                    ).astype(np.float32)
+                    return labels, offsets, packed
+                return packed, offsets, None
+        labels, offsets = self._encode_padded(gl, gb, gv, flip)
+        sums = labels.sum(axis=-1)
+        if ((sums == 1.0).all() and labels.max() == 1.0
+                and self.num_classes <= 255):
+            labels_u8 = labels.argmax(axis=-1).astype(np.uint8)
+            if key is not None:
+                cache.put(key, ("u8", labels_u8, offsets))
+            return labels, offsets, labels_u8
+        if key is not None:
+            cache.put(key, ("f32", labels, offsets))
+        return labels, offsets, None
+
+    def _read_and_encode_raw(
+        self, path_file_image, path_file_mask, path_file_labels_boxes
+    ):
+        """Shared IO + flip + encode; returns (image u8, mask u8 class map,
+        enc_labels f32, enc_offsets f32, labels_u8_or_None)."""
+        stat, (image, mask_map, gl, gb, gv) = self._load_decoded(
+            path_file_image, path_file_mask, path_file_labels_boxes
+        )
+        flip = bool(
+            self.augmentation_horizontal_flip and self._rng.uniform() >= 0.5
+        )
+        if flip:
+            image = image[:, ::-1, :].copy()
+            mask_map = mask_map[:, ::-1].copy()
+        enc_labels, enc_offsets, labels_u8 = self._encode_padded_cached(
+            stat, gl, gb, gv, flip
+        )
+        return image, mask_map, enc_labels, enc_offsets, labels_u8
+
     def read_and_encode(
         self,
         path_file_image: str,
@@ -354,31 +468,51 @@ class DataEncoderDecoder:
         Returns (image float32 (H, W, 3),
                  {'output-mask' one-hot, 'output-labels', 'output-boxes'}).
         """
-        image = decode_png_rgb(open(path_file_image, "rb").read()).astype(np.float32)
-        mask_map = decode_png_mask(open(path_file_mask, "rb").read())
-        labels, boxes = read_labels_boxes_csv(path_file_labels_boxes)
-
-        flip = bool(
-            self.augmentation_horizontal_flip and self._rng.uniform() >= 0.5
+        image_u8, mask_map, enc_labels, enc_offsets, _ = (
+            self._read_and_encode_raw(
+                path_file_image, path_file_mask, path_file_labels_boxes
+            )
         )
-        if flip:
-            image = image[:, ::-1, :].copy()
-            mask_map = mask_map[:, ::-1].copy()
-
         # tf.one_hot semantics (reference datacoder.py:330): out-of-range
         # pixel values produce an all-zero row, matching the jitted batch
         # path (jax.nn.one_hot) — np.eye indexing would IndexError instead
         mask = (
             mask_map[..., None] == np.arange(self.num_classes, dtype=mask_map.dtype)
         ).astype(np.float32)
-        enc_labels, enc_offsets = self.encode_ground_truth(
-            labels, boxes, flip_horizontal=flip
-        )
-        return image, {
+        return image_u8.astype(np.float32), {
             "output-mask": mask,
             "output-labels": enc_labels,
             "output-boxes": enc_offsets,
         }
+
+    def read_and_encode_packed(
+        self,
+        path_file_image: str,
+        path_file_mask: str,
+        path_file_labels_boxes: str,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """`read_and_encode` in the packed wire format: (image uint8
+        (H, W, 3), mask uint8 class map (H, W), labels uint8 class indices
+        (N,), offsets float32 (N, 4)).
+
+        Every packed tensor one-hots back to the exact `read_and_encode`
+        output (the reference encoder emits exact {0,1} one-hot — reference
+        datacoder.py:247-248, :333), at 16x less mask bandwidth through the
+        tf.data pipeline and the host->device link; the `ssdseglib` compat
+        facade re-one-hots ON DEVICE inside the jitted train step.  Same
+        flip-RNG stream as `read_and_encode`."""
+        image, mask_map, enc_labels, enc_offsets, labels_u8 = (
+            self._read_and_encode_raw(
+                path_file_image, path_file_mask, path_file_labels_boxes
+            )
+        )
+        if labels_u8 is None:
+            raise ValueError(
+                "packed pipeline needs exactly-one-hot encoded labels (a "
+                "ground-truth label is outside [0, num_classes)); set "
+                "SSDSEGLIB_PACKED_PIPELINE=0 for the float32 path"
+            )
+        return image, mask_map, labels_u8, enc_offsets
 
     # -- decoding ---------------------------------------------------------
     def decode_to_centroids(

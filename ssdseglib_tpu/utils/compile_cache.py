@@ -74,23 +74,36 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         directory always enables; with no argument, an env value of
         ``0``/``off``/``false``/empty disables and returns None.
 
+    An EXPLICITLY requested location (the `cache_dir` argument or a
+    directory in ``$SSDSEGLIB_COMPILE_CACHE``) is honored exactly — a
+    pre-warmed cache at that path stays visible to external tooling
+    (ADVICE r4); only the DEFAULT location gets the per-host-ISA
+    ``host-<fingerprint>`` subdirectory that keeps XLA:CPU AOT entries
+    from SIGILLing when containers migrate across heterogeneous hosts.
+
     Returns the cache directory in use, or None when disabled.  Safe to
     call multiple times and before or after the backend initializes (the
     cache is consulted at compile time, not at backend init).
     """
     import jax
 
+    explicit = cache_dir is not None
     if cache_dir is None:
         env = os.environ.get(_ENV_VAR)
         if env is not None and env.strip().lower() in (
             "", "0", "off", "false", "no",
         ):
             return None
-        cache_dir = env or _DEFAULT_DIR
-    # per-host-ISA subdirectory: XLA:CPU entries are AOT-compiled against
-    # the writing host's CPU features and may SIGILL on a narrower host
-    # (fleet containers migrate between machines) — see _host_fingerprint
-    cache_dir = os.path.join(cache_dir, f"host-{_host_fingerprint()}")
+        if env:
+            explicit = True
+            cache_dir = env
+        else:
+            cache_dir = _DEFAULT_DIR
+    if not explicit:
+        # per-host-ISA subdirectory: XLA:CPU entries are AOT-compiled
+        # against the writing host's CPU features and may SIGILL on a
+        # narrower host (fleet containers migrate between machines)
+        cache_dir = os.path.join(cache_dir, f"host-{_host_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything: the default min-compile-time threshold (1 s) would

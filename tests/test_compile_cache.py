@@ -36,12 +36,11 @@ def test_enable_populates_cache_and_results_match(tmp_path):
     try:
         cache_dir = str(tmp_path / "jax_cache")
         used = enable_compile_cache(cache_dir)
-        # host-ISA-scoped subdirectory (XLA:CPU entries are AOT executables
-        # compiled against the writing host's CPU features)
-        assert used.startswith(cache_dir + os.sep)
-        assert os.path.basename(used).startswith("host-")
+        # an explicitly requested path is honored EXACTLY (ADVICE r4:
+        # pre-warmed caches / external tooling keep seeing the entries);
+        # only the default location gets the host-ISA subdirectory
+        assert used == cache_dir
         assert os.path.isdir(used)
-        cache_dir = used
 
         def make():
             @jax.jit
@@ -72,11 +71,32 @@ def test_env_var_controls_default(tmp_path, monkeypatch):
         env_dir = str(tmp_path / "env_cache")
         monkeypatch.setenv("SSDSEGLIB_COMPILE_CACHE", env_dir)
         used = enable_compile_cache()
-        assert used.startswith(env_dir + os.sep) and os.path.isdir(used)
+        # env-provided directories are explicit too: honored exactly
+        assert used == env_dir and os.path.isdir(used)
 
         # explicit argument wins over a disabling env value
         monkeypatch.setenv("SSDSEGLIB_COMPILE_CACHE", "0")
         arg_dir = str(tmp_path / "arg_cache")
-        assert enable_compile_cache(arg_dir).startswith(arg_dir + os.sep)
+        assert enable_compile_cache(arg_dir) == arg_dir
+    finally:
+        _restore(old)
+
+
+def test_default_location_is_host_scoped(monkeypatch, tmp_path):
+    old = _save()
+    try:
+        monkeypatch.delenv("SSDSEGLIB_COMPILE_CACHE", raising=False)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        import ssdseglib_tpu.utils.compile_cache as cc
+
+        monkeypatch.setattr(
+            cc, "_DEFAULT_DIR", str(tmp_path / "default_cache")
+        )
+        used = enable_compile_cache()
+        # the DEFAULT location keeps the host-ISA subdirectory (XLA:CPU
+        # entries are AOT executables compiled against the writing host's
+        # CPU features; narrower hosts would SIGILL)
+        assert os.path.basename(used).startswith("host-")
+        assert used.startswith(str(tmp_path / "default_cache") + os.sep)
     finally:
         _restore(old)

@@ -56,6 +56,9 @@ def _run_notebook_verbatim(nb: str, marker: str) -> None:
             sys.executable,
             "examples/05_reference_notebook_unmodified.py",
             "--notebook", nb, "--cpu",
+            # CI smoke sizes: the example's defaults (256/64) are the
+            # learning-gate scale, ~5 min of PNG synthesis on this host
+            "--train-samples", "14", "--test-samples", "8",
         ],
         capture_output=True,
         text=True,
