@@ -1,8 +1,12 @@
 """TPU smoke for AOT serving bundles: flagship model, fused bf16 path.
 
-Exports the bench.py serving configuration to a bundle, reloads it, checks
-outputs match the live InferenceModel bit-exactly on the chip, and times
-the reloaded program with the pipelined-dispatch protocol.
+Exports the bench.py serving configuration to a MULTI-BATCH bundle
+(batches=[1, 16] — the round-4 v2 format with largest-fit routing),
+reloads it, checks outputs match the live InferenceModel bit-exactly on
+the chip at BOTH batch sizes, times b16 with the pipelined-dispatch
+protocol and b1 with the fetch-fenced single-image protocol (VERDICT r4
+item 4: reloaded-bundle b1 latency vs the live 2.26 ms; reference nb 03
+cell 31 single-image predict).
 
     python tests/tpu_scripts/export_bundle_smoke.py
 """
@@ -62,8 +66,9 @@ def main() -> None:
 
     path = tempfile.mkdtemp(prefix="bundle_")
     t0 = time.perf_counter()
-    infer.export_serving_bundle(path, batch=batch)
-    print(f"export: {time.perf_counter() - t0:.1f}s -> {path}")
+    infer.export_serving_bundle(path, batch=[1, batch])
+    print(f"export (batches=[1, {batch}]): "
+          f"{time.perf_counter() - t0:.1f}s -> {path}")
     import subprocess
 
     subprocess.run(["du", "-sh", path])
@@ -77,16 +82,17 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     images = rng.uniform(0, 255, (batch, 480, 640, 3)).astype(np.uint8)
-    mask_live, det_live = infer(images)
-    mask_b, det_b = bundle(images)
-    assert np.array_equal(
-        np.asarray(mask_b).astype(np.float32),
-        np.asarray(mask_live).astype(np.float32),
-    ), "mask mismatch"
-    assert np.array_equal(np.asarray(det_b), np.asarray(det_live)), (
-        "detections mismatch"
-    )
-    print("bit-exact vs live InferenceModel")
+    for b_imgs, label in ((images, f"b{batch}"), (images[:1], "b1")):
+        mask_live, det_live = infer(b_imgs)
+        mask_b, det_b = bundle(b_imgs)
+        assert np.array_equal(
+            np.asarray(mask_b).astype(np.float32),
+            np.asarray(mask_live).astype(np.float32),
+        ), f"mask mismatch {label}"
+        assert np.array_equal(np.asarray(det_b), np.asarray(det_live)), (
+            f"detections mismatch {label}"
+        )
+        print(f"bit-exact vs live InferenceModel at {label}")
 
     # bench.py protocol: device-staged distinct inputs, pipelined
     # dispatch, fence by FETCHING a small leaf of the last output
@@ -111,6 +117,31 @@ def main() -> None:
         print(f"{label}: {sorted(rates)[1]:.1f} img/s (median of 3)")
 
     timed(bundle, "bundle throughput (compiled_auto sidecar)")
+
+    def timed_b1(b, label):
+        """Single-image latency, pipelined-dispatch protocol (the live
+        2.26 ms figure's protocol): distinct device-staged b1 inputs,
+        fence by fetching a small leaf of the last output."""
+        inputs = [
+            b.prepare_input(
+                ((images[:1].astype(np.float32) + i) % 256).astype(np.uint8)
+            )
+            for i in range(8)
+        ]
+        jax.block_until_ready(inputs)
+        outs = [b(inputs[i % 8]) for i in range(4)]
+        np.asarray(outs[-1][1])
+        steps = 64
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [b(inputs[i % 8]) for i in range(steps)]
+            np.asarray(outs[-1][1])
+            lat.append((time.perf_counter() - t0) / steps * 1e3)
+        print(f"{label}: {sorted(lat)[1]:.2f} ms/image (median of 3; "
+              f"live baseline 2.26 ms)")
+
+    timed_b1(bundle, "bundle b1 latency")
 
     # A/B in the same process: the portable StableHLO program alone
     sidecar = os.path.join(path, "compiled_auto.pkl")
