@@ -233,126 +233,23 @@ def test_host_batcher_cache_off(dataset):
 
 # --------------------------------------- compat facade packed batches
 
-def test_pack_host_batch_accepts_prepacked():
-    from ssdseglib.models import _pack_host_batch
-    from ssdseglib.datacoder import COLOR_AUG_SEED_KEY
+def test_packed_wire_and_facade_packing_subprocess():
+    """Packed/unpacked tf.data wire + `_pack_host_batch` + content-keyed
+    device cache — in a SUBPROCESS, because these import the compat
+    `ssdseglib` package whose module name collides with the reference
+    oracle the in-process session loads (tests/conftest.py).  Same
+    isolation rule as test_ssdseglib_compat.py."""
+    import subprocess
+    import sys
+    from pathlib import Path
 
-    images = np.zeros((2, 8, 8, 3), np.uint8)
-    targets = {
-        "output-mask": np.zeros((2, 8, 8), np.uint8),
-        "output-labels": np.zeros((2, 5), np.uint8),
-        "output-boxes": np.zeros((2, 5, 4), np.float32),
-        COLOR_AUG_SEED_KEY: np.int32(1234),
-    }
-    kind, flat = _pack_host_batch(images, targets)
-    assert kind == (True, True, True)
-    assert len(flat) == 5 and flat[4] == np.int32(1234)
-    assert flat[1].dtype == np.uint8 and flat[2].dtype == np.uint8
-
-
-def test_pack_host_batch_f32_unchanged():
-    from ssdseglib.models import _pack_host_batch
-
-    images = np.zeros((2, 8, 8, 3), np.float32)
-    mask = np.zeros((2, 8, 8, 4), np.float32)
-    mask[..., 0] = 1.0
-    labels = np.zeros((2, 5, 4), np.float32)
-    labels[..., 0] = 1.0
-    targets = {
-        "output-mask": mask,
-        "output-labels": labels,
-        "output-boxes": np.zeros((2, 5, 4), np.float32),
-    }
-    kind, flat = _pack_host_batch(images, targets)
-    assert kind == (True, True, False)
-    assert len(flat) == 4
-
-
-def test_device_batch_cache_content_mode_hits():
-    from ssdseglib.models import _DeviceBatchCache
-
-    cache = _DeviceBatchCache(key_mode="content")
-    mk = lambda: (
-        np.arange(24, dtype=np.uint8).reshape(2, 3, 4),
-        {
-            "output-mask": np.ones((2, 3), np.uint8),
-            "output-labels": np.zeros((2, 5), np.uint8),
-            "output-boxes": np.zeros((2, 5, 4), np.float32),
-        },
+    script = Path(__file__).parent / "compat_scripts" / "packed_wire_checks.py"
+    result = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=1200, cwd="/root/repo",
     )
-    i1, t1 = mk()
-    i2, t2 = mk()  # fresh arrays, same bytes
-    k1, _ = cache.key_refs(i1, t1)
-    k2, _ = cache.key_refs(i2, t2)
-    assert k1 == k2
-    cache.insert(k1, None, (True, True, False), (np.zeros(4),))
-    assert cache.get(k2) is not None
-    # different content -> different key
-    i3, t3 = mk()
-    i3[0, 0, 0] = 99
-    k3, _ = cache.key_refs(i3, t3)
-    assert k3 != k1
-
-
-def test_device_batch_cache_content_mode_seed_in_key():
-    from ssdseglib.models import _DeviceBatchCache
-    from ssdseglib.datacoder import COLOR_AUG_SEED_KEY
-
-    cache = _DeviceBatchCache(key_mode="content")
-    imgs = np.zeros((1, 2, 2, 3), np.uint8)
-    t = lambda s: {
-        "output-mask": np.zeros((1, 2, 2), np.uint8),
-        "output-labels": np.zeros((1, 3), np.uint8),
-        "output-boxes": np.zeros((1, 3, 4), np.float32),
-        COLOR_AUG_SEED_KEY: np.int32(s),
-    }
-    k1, _ = cache.key_refs(imgs, t(1))
-    k2, _ = cache.key_refs(imgs, t(2))
-    assert k1 != k2
-
-
-def test_packed_tf_wire_format(dataset):
-    """The notebook's tf.data recipe emits the packed wire: uint8 image /
-    uint8 class maps from `read_and_encode`, pass-through + seed tag from
-    `augmentation_rgb_channels`; one batch packs to kind (True, True,
-    True) with the seed leaf appended.  (The full fit/save/predict e2e on
-    this wire is tests/compat_scripts/tf_pipeline_flow.py.)"""
-    import tensorflow as tf
-
-    import ssdseglib
-    from ssdseglib.models import _pack_host_batch
-
-    global_sample_cache().clear()
-    base = make_coder(flip=True)
-    coder = ssdseglib.datacoder.DataEncoderDecoder(
-        num_classes=4,
-        image_shape=(96, 128),
-        xmin_boxes_default=base.xmin_boxes_default,
-        ymin_boxes_default=base.ymin_boxes_default,
-        xmax_boxes_default=base.xmax_boxes_default,
-        ymax_boxes_default=base.ymax_boxes_default,
-        iou_threshold=0.5,
-        augmentation_horizontal_flip=True,
+    assert result.returncode == 0, (
+        f"rc={result.returncode}\n--- stdout ---\n{result.stdout[-4000:]}"
+        f"\n--- stderr ---\n{result.stderr[-4000:]}"
     )
-    paths = list(zip(*dataset))
-    ds = (
-        tf.data.Dataset.from_tensor_slices(
-            (list(paths[0]), list(paths[1]), list(paths[2]))
-        )
-        .map(coder.read_and_encode)
-        .batch(3)
-        .map(ssdseglib.datacoder.augmentation_rgb_channels)
-    )
-    spec = ds.element_spec
-    assert spec[0].dtype == tf.uint8  # packed wire
-    assert spec[1]["output-mask"].dtype == tf.uint8
-    assert spec[1]["output-labels"].dtype == tf.uint8
-    assert ssdseglib.datacoder.COLOR_AUG_SEED_KEY in spec[1]
-
-    images, targets = next(iter(ds.as_numpy_iterator()))
-    kind, flat = _pack_host_batch(images, targets)
-    assert kind == (True, True, True)
-    assert len(flat) == 5
-    assert flat[0].dtype == np.uint8 and flat[1].dtype == np.uint8
-    n = coder.anchors.total_boxes
-    assert flat[2].shape == (3, n) and flat[3].shape == (3, n, 4)
+    assert "PACKED_WIRE_CHECKS_OK" in result.stdout, result.stdout[-2000:]
