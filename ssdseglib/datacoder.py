@@ -175,7 +175,12 @@ def augmentation_rgb_channels(image_batch, targets_batch):
         with _cpu_scope():
             from ssdseglib_tpu.ops import color as color_ops
 
-            out = color_ops.augmentation_rgb_channels(key, images)
+            # f32 cast: a uint8 batch reaching the host fallback (packed
+            # images with non-dict targets) must not run the HSV round
+            # trip in integer arithmetic
+            out = color_ops.augmentation_rgb_channels(
+                key, np.asarray(images, np.float32)
+            )
         return np.asarray(out, np.float32)
 
     augmented = tf.numpy_function(_host, [image_batch], tf.float32)

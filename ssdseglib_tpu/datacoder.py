@@ -428,7 +428,8 @@ class DataEncoderDecoder:
                 return packed, offsets, None
         labels, offsets = self._encode_padded(gl, gb, gv, flip)
         sums = labels.sum(axis=-1)
-        if ((sums == 1.0).all() and labels.max() == 1.0
+        if ((sums == 1.0).all()
+                and ((labels == 0.0) | (labels == 1.0)).all()
                 and self.num_classes <= 255):
             labels_u8 = labels.argmax(axis=-1).astype(np.uint8)
             if key is not None:

@@ -57,6 +57,7 @@ class SampleCache:
         self._lock = threading.Lock()
         self._entries: Dict[Any, Tuple[Any, int]] = {}
         self._order: Dict[Any, None] = {}  # insertion-ordered LRU
+        self._total_bytes = 0
         self.hits = 0
         self.misses = 0
 
@@ -96,25 +97,28 @@ class SampleCache:
         with self._lock:
             old = self._entries.pop(key, None)
             self._order.pop(key, None)
-            bytes_now = self._bytes() - (old[1] if old else 0)
+            if old is not None:
+                self._total_bytes -= old[1]
             if nbytes > self.max_bytes:
                 return  # single entry over the whole budget
-            while bytes_now + nbytes > self.max_bytes and self._order:
+            while self._total_bytes + nbytes > self.max_bytes and self._order:
                 victim = next(iter(self._order))
                 self._order.pop(victim)
                 dropped = self._entries.pop(victim, None)
                 if dropped is not None:
-                    bytes_now -= dropped[1]
+                    self._total_bytes -= dropped[1]
             self._entries[key] = (value, nbytes)
             self._order[key] = None
+            self._total_bytes += nbytes
 
     def _bytes(self) -> int:
-        return sum(n for _, n in self._entries.values())
+        return self._total_bytes
 
     def clear(self) -> None:
         with self._lock:
             self._entries.clear()
             self._order.clear()
+            self._total_bytes = 0
             self.hits = 0
             self.misses = 0
 
