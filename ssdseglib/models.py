@@ -225,6 +225,40 @@ def _pack_host_batch(images, targets):
     return kind, flat
 
 
+def make_unflatten(kind, num_classes: int):
+    """On-device unpack for one flat batch, by `kind` = (targets_packed,
+    images_u8, color_aug): uint8 -> f32 image cast, deferred per-batch
+    color jitter from the seed leaf (same `ops/color.py` op as the host
+    path — reference datacoder.py:434-466 semantics), and bit-exact
+    one-hot reconstruction of packed class maps.  Module-level so the
+    unpack semantics are unit-testable outside a compiled train step
+    (the jitted steps in `KerasStyleModel._build_steps` call this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdseglib_tpu.ops import color as color_ops
+
+    targets_packed, images_u8, color_aug = kind
+
+    def unflatten(images, mask, labels, boxes, *rest):
+        if images_u8:
+            images = images.astype(jnp.float32)
+        if color_aug:
+            images = color_ops.augmentation_rgb_channels(
+                jax.random.key(rest[0]), images
+            )
+        if targets_packed:
+            mask = jax.nn.one_hot(mask, num_classes, dtype=jnp.float32)
+            labels = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+        return images, {
+            "output-mask": mask,
+            "output-labels": labels,
+            "output-boxes": boxes,
+        }
+
+    return unflatten
+
+
 class _DeviceBatchCache:
     """Device-resident memo of packed + uploaded batches, keyed by the
     IDENTITY of the host arrays.
@@ -627,33 +661,14 @@ class KerasStyleModel:
         import jax.numpy as jnp
         import optax
 
-        from ssdseglib_tpu.ops import color as color_ops
-
         module = self.module
         losses = self._compiled["loss"]
         weights = self._compiled["loss_weights"]
         metric_fns = self._compiled["metrics"]
         tx = self._compiled["tx"]
-        num_classes = self.cfg.number_of_classes
-        targets_packed, images_u8, color_aug = kind
         compute_dtype = jnp.dtype(self._compiled.get("compute_dtype", "float32"))
         mixed = compute_dtype != jnp.float32
-
-        def unflatten(images, mask, labels, boxes, *rest):
-            if images_u8:
-                images = images.astype(jnp.float32)
-            if color_aug:
-                images = color_ops.augmentation_rgb_channels(
-                    jax.random.key(rest[0]), images
-                )
-            if targets_packed:
-                mask = jax.nn.one_hot(mask, num_classes, dtype=jnp.float32)
-                labels = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
-            return images, {
-                "output-mask": mask,
-                "output-labels": labels,
-                "output-boxes": boxes,
-            }
+        unflatten = make_unflatten(kind, self.cfg.number_of_classes)
 
         def losses_and_logs(outputs, targets):
             logs = {}

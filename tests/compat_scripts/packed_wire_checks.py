@@ -194,6 +194,53 @@ def check_content_cache():
     assert ka != kb
 
 
+def check_unflatten_applies_color_jitter():
+    """The deferred color jitter is ACTUALLY applied from the seed leaf
+    — exactly `ops/color.augmentation_rgb_channels(key(seed), f32)` —
+    and the packed class maps one-hot back bit-exactly.  Guards against
+    a silent seed drop (an e2e fit would still 'pass' without jitter)."""
+    import jax
+
+    from ssdseglib.models import make_unflatten
+    from ssdseglib_tpu.ops import color as color_ops
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    mask = rng.integers(0, 4, (2, 8, 8), dtype=np.uint8)
+    labels = rng.integers(0, 4, (2, 5), dtype=np.uint8)
+    boxes = rng.normal(size=(2, 5, 4)).astype(np.float32)
+    seed = np.int32(424242)
+
+    unflatten = make_unflatten((True, True, True), 4)
+    out_images, targets = unflatten(images, mask, labels, boxes, seed)
+
+    expected = color_ops.augmentation_rgb_channels(
+        jax.random.key(seed), images.astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(out_images), np.asarray(expected))
+    assert not np.array_equal(  # the jitter changed the pixels
+        np.asarray(out_images), images.astype(np.float32)
+    )
+    onehot = lambda m: (
+        m[..., None] == np.arange(4, dtype=m.dtype)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(targets["output-mask"]), onehot(mask)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(targets["output-labels"]), onehot(labels)
+    )
+    np.testing.assert_array_equal(np.asarray(targets["output-boxes"]), boxes)
+
+    # no-color-aug kind: images pass through as the plain f32 cast
+    out_plain, _ = make_unflatten((True, True, False), 4)(
+        images, mask, labels, boxes
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_plain), images.astype(np.float32)
+    )
+
+
 def main():
     import tensorflow as tf
 
@@ -205,6 +252,7 @@ def main():
     check_unpacked_wire(tf, ssdseglib, triples)
     check_pack_host_batch_prepacked()
     check_content_cache()
+    check_unflatten_applies_color_jitter()
     print("PACKED_WIRE_CHECKS_OK")
 
 
