@@ -162,7 +162,15 @@ def augmentation_rgb_channels(image_batch, targets_batch):
 
     import tensorflow as tf
 
-    if image_batch.dtype == tf.uint8 and isinstance(targets_batch, dict):
+    # deferral is strictly a packed-wire contract: gate on the SAME knob
+    # as read_and_encode so SSDSEGLIB_PACKED_PIPELINE=0 restores the
+    # host-computed jitter even for pipelines whose images are natively
+    # uint8 (the tag is only meaningful to the facade's fit/evaluate)
+    if (
+        _packed_pipeline()
+        and image_batch.dtype == tf.uint8
+        and isinstance(targets_batch, dict)
+    ):
         seed = tf.random.uniform(
             (), minval=0, maxval=2**31 - 1, dtype=tf.int32
         )

@@ -206,7 +206,11 @@ def _pack_host_batch(images, targets):
     mask = np.asarray(targets["output-mask"])
     labels = np.asarray(targets["output-labels"])
     boxes = np.asarray(targets["output-boxes"], np.float32)
-    if mask.dtype == np.uint8 and labels.dtype == np.uint8:
+    # pre-packed class maps are uint8 AND rank-reduced — (B, H, W) mask,
+    # (B, N) labels; a uint8 ONE-HOT tensor (rank 4 / rank 3) must take
+    # the certificate path below, not be misread as class indices
+    if (mask.dtype == np.uint8 and labels.dtype == np.uint8
+            and mask.ndim == 3 and labels.ndim == 2):
         mask_u8, labels_u8 = mask, labels
     else:
         mask_u8 = _pack_one_hot(mask)
@@ -318,10 +322,12 @@ class _DeviceBatchCache:
             if isinstance(targets, dict)
             else None
         )
-        # the color seed is part of the batch identity (same arrays +
-        # different jitter = different device batch); a scalar, so its
-        # VALUE keys in both modes
-        seed_part = () if seed is None else (int(seed),)
+        if seed is not None:
+            # a live per-batch jitter seed exists precisely so the batch
+            # DIFFERS every epoch: such batches are never cacheable.
+            # Keying them would only pin dead device entries (content
+            # keys are unique forever) and pay a pointless hash pass.
+            return None, None
 
         if self.key_mode == "content":
             import hashlib
@@ -331,9 +337,9 @@ class _DeviceBatchCache:
                 arr = np.ascontiguousarray(np.asarray(o))
                 h.update(str((arr.dtype.str, arr.shape)).encode())
                 h.update(memoryview(arr).cast("B"))
-            return ("content", h.hexdigest()) + seed_part, None
+            return ("content", h.hexdigest()), None
 
-        key = tuple(id(o) for o in objs) + seed_part
+        key = tuple(id(o) for o in objs)
 
         def evict(_ref, key=key):
             with self._lock:
@@ -523,7 +529,9 @@ class KerasStyleModel:
             else os.environ.get("SSDSEGLIB_BATCH_CACHE_KEY", "id")
         )
         if mode not in ("id", "content"):
-            raise ValueError(f"cache_batches mode must be 'content', got {mode!r}")
+            raise ValueError(
+                f"cache_batches mode must be 'id' or 'content', got {mode!r}"
+            )
         if self._cache is None or self._cache.key_mode != mode:
             self._cache = _DeviceBatchCache(key_mode=mode)
         return self._cache

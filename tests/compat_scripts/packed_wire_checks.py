@@ -155,6 +155,19 @@ def check_pack_host_batch_prepacked():
     assert kind == (True, True, False)
     assert len(flat) == 4
 
+    # genuine uint8 ONE-HOT targets (rank 4/3) must NOT be misread as
+    # class maps — they flow through unpacked, as before the packed wire
+    kind, flat = _pack_host_batch(
+        np.zeros((2, 8, 8, 3), np.uint8),
+        {
+            "output-mask": np.zeros((2, 8, 8, 4), np.uint8),
+            "output-labels": np.zeros((2, 5, 4), np.uint8),
+            "output-boxes": np.zeros((2, 5, 4), np.float32),
+        },
+    )
+    assert kind[0] is False  # not packed: u8 one-hot fails the f32 gemm gate
+    assert flat[1].shape == (2, 8, 8, 4)
+
 
 def check_content_cache():
     from ssdseglib.datacoder import COLOR_AUG_SEED_KEY
@@ -181,7 +194,8 @@ def check_content_cache():
     k3, _ = cache.key_refs(i3, t3)
     assert k3 != k1
 
-    # the color seed is part of the content identity
+    # a live per-batch jitter seed makes the batch differ every epoch:
+    # such batches are NEVER cacheable (no key, no dead device entries)
     imgs = np.zeros((1, 2, 2, 3), np.uint8)
     t = lambda s: {
         "output-mask": np.zeros((1, 2, 2), np.uint8),
@@ -189,9 +203,11 @@ def check_content_cache():
         "output-boxes": np.zeros((1, 3, 4), np.float32),
         COLOR_AUG_SEED_KEY: np.int32(s),
     }
-    ka, _ = cache.key_refs(imgs, t(1))
-    kb, _ = cache.key_refs(imgs, t(2))
-    assert ka != kb
+    ka, ra = cache.key_refs(imgs, t(1))
+    assert ka is None and ra is None
+    id_cache = _DeviceBatchCache(key_mode="id")
+    kb, rb = id_cache.key_refs(imgs, t(2))
+    assert kb is None and rb is None
 
 
 def check_unflatten_applies_color_jitter():

@@ -38,15 +38,31 @@ DATA_DIR = "/tmp/fit_ab_data"
 
 
 def ensure_dataset():
-    """Idempotent on-disk synthetic dataset (480x640 PNG/PNG/CSV)."""
+    """Idempotent on-disk synthetic dataset (480x640 PNG/PNG/CSV),
+    keyed by a manifest (count/seed/options/generator hash) so a stale
+    /tmp dir from an older generator regenerates — same rule as
+    examples/05's split manifests (ADVICE r4)."""
+    import hashlib
+    import inspect
+
     from PIL import Image
 
+    from ssdseglib_tpu.data import synthetic as _synthetic
     from ssdseglib_tpu.data.synthetic import generate_sample
 
+    manifest = {
+        "count": SAMPLES,
+        "seed": 5,
+        "non_overlapping": True,
+        "generator_version": hashlib.blake2b(
+            inspect.getsource(_synthetic).encode(), digest_size=8
+        ).hexdigest(),
+    }
     path_json = f"{DATA_DIR}/triples.json"
-    if os.path.exists(path_json):
+    path_manifest = f"{DATA_DIR}/manifest.json"
+    if os.path.exists(path_json) and os.path.exists(path_manifest):
         triples = json.load(open(path_json))
-        if len(triples) == SAMPLES and all(
+        if json.load(open(path_manifest)) == manifest and all(
             os.path.exists(p) for t in triples for p in t
         ):
             return [tuple(t) for t in triples]
@@ -64,6 +80,7 @@ def ensure_dataset():
                 f.write(f"{int(label)},{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}\r\n")
         triples.append((pi, pm, pl))
     json.dump(triples, open(path_json, "w"))
+    json.dump(manifest, open(path_manifest, "w"))
     return triples
 
 
